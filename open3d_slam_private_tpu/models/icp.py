@@ -1,0 +1,342 @@
+"""The batched, degeneracy-aware ICP engine.
+
+TPU re-design of libpointmatcher's ICP chain (``ICP.cpp:902-1349``): one
+jitted iteration = match -> outlier weights -> fused 6x6 linearization ->
+(optionally constrained) solve -> compose, inside a ``lax.while_loop`` with
+per-problem convergence masks. ``vmap`` the whole engine over a leading batch
+axis for thousands of concurrent registrations (hypotheses, submap pairs,
+sessions).
+
+Chain correspondence with the reference:
+- matcher: grid-hash or brute-force KNN (k, maxDist) ≙ KDTreeMatcher
+- outlier: trimmed-ratio quantile, surface-normal gate, robust M-weights
+  ≙ Trimmed/SurfaceNormal/Robust OutlierFilters, composed by product
+- minimizer: point-to-plane normal equations (+ 4-DoF mode) or
+  point-to-point Kabsch ≙ PointToPlane/PointToPoint ErrorMinimizers
+- degeneracy: none / solution remapping / X-ICP equality constraints
+- checkers: Counter (max iterations) + Differential (smoothed deltas)
+  ≙ TransformationCheckers
+- mean-centering of the reference frame ≙ ``T_refIn_refMean``
+  (``ICP.cpp:881-891``) for float32 conditioning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from open3d_slam_private_tpu.geometry import se3
+from open3d_slam_private_tpu.models import localizability as xicp
+from open3d_slam_private_tpu.models import minimizers
+from open3d_slam_private_tpu.ops import grid_hash as grid_mod
+from open3d_slam_private_tpu.ops import knn as knn_mod
+from open3d_slam_private_tpu.ops import outliers
+from open3d_slam_private_tpu.ops.pointcloud import PointBatch, masked_centroid
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """Static chain configuration (the icp.yaml vocabulary, typed)."""
+
+    # Matcher (≙ param/icp.yaml matcher block: knn, maxDist, epsilon).
+    knn: int = 1
+    max_match_dist: float = jnp.inf
+    matcher: str = "grid"  # "grid" | "brute"
+    grid_table_size: int = 1 << 15
+    grid_bucket_cap: int = 16
+
+    # Outlier filters (≙ outlierFilters block).
+    trimmed_ratio: Optional[float] = None  # TrimmedDistOutlierFilter ratio
+    normal_angle_max: Optional[float] = None  # SurfaceNormalOutlierFilter (rad)
+    robust: Optional[str] = None  # cauchy|huber|gm|tukey|welsch|sc|l1|student
+    robust_scale: float = 1.0  # tuning constant (metres); MAD if <= 0
+
+    # Minimizer (≙ errorMinimizer block).
+    minimizer: str = "point_to_plane"  # "point_to_plane" | "point_to_point"
+    force_4dof: bool = False
+
+    # Degeneracy awareness (≙ degeneracyAwareness options).
+    degeneracy: xicp.DegeneracyConfig = dataclasses.field(
+        default_factory=xicp.DegeneracyConfig
+    )
+
+    # Checkers (≙ transformationCheckers: Counter + Differential).
+    max_iterations: int = 30
+    min_diff_rot: float = 1e-3  # rad, smoothed
+    min_diff_trans: float = 1e-3  # m, smoothed
+    smooth_length: int = 3
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ICPResult:
+    """Per-problem outputs (the observables the reference exposes on
+    ``ICPChainBase``: iterations, overlap, eigenvalues, degeneracy)."""
+
+    transform: jax.Array  # [4, 4] reading -> reference
+    iterations: jax.Array  # int32
+    converged: jax.Array  # bool (differential checker fired)
+    match_ratio: jax.Array  # matched / valid reading points (last iter)
+    overlap_ratio: jax.Array  # weighted points used ratio (last iter)
+    residual: jax.Array  # weighted RMS point-to-plane residual (last iter)
+    eigenvalues: jax.Array  # [6] hessian eigenvalues (ascending, last iter)
+    condition_number: jax.Array
+    localizability_rot: jax.Array  # [3] 1 = localizable
+    localizability_trans: jax.Array  # [3]
+    degenerate: jax.Array  # bool, any direction constrained/suppressed
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ICPReference:
+    """Preprocessed reference side: centered cloud + optional grid hash.
+
+    Build once per reference map (≙ ``ICPSequence::initReference`` /
+    ``icp_.initReference`` at ``Mapper.cpp:343`` — the KD-tree build step),
+    reuse across many readings / iterations.
+    """
+
+    cloud: PointBatch  # centered at centroid
+    centroid: jax.Array  # [3]
+    grid: Optional[grid_mod.GridHash]
+
+
+def build_reference(reference: PointBatch, cfg: ICPConfig) -> ICPReference:
+    """Center the reference at its centroid and (for the grid matcher)
+    build the spatial hash. jit/vmap-safe."""
+    c = masked_centroid(reference)
+    centered = dataclasses.replace(
+        reference,
+        xyz=jnp.where(reference.mask[..., None], reference.xyz - c, reference.xyz),
+    )
+    grid = None
+    if cfg.matcher == "grid":
+        import math
+
+        if not math.isfinite(cfg.max_match_dist):
+            raise ValueError(
+                "grid matcher requires a finite max_match_dist (cell size is "
+                "2 * max_match_dist); use matcher='brute' for unbounded search"
+            )
+        cell = 2.0 * cfg.max_match_dist
+        grid = grid_mod.build_grid(
+            centered.padded_xyz(),
+            centered.mask,
+            cell,
+            table_size=cfg.grid_table_size,
+            bucket_cap=cfg.grid_bucket_cap,
+        )
+    return ICPReference(cloud=centered, centroid=c, grid=grid)
+
+
+def _match(src_xyz, src_mask, ref: ICPReference, cfg: ICPConfig) -> knn_mod.KnnResult:
+    if cfg.matcher == "grid":
+        return grid_mod.grid_knn(
+            ref.grid, ref.cloud.padded_xyz(), src_xyz, src_mask,
+            k=cfg.knn, max_dist=cfg.max_match_dist,
+        )
+    return knn_mod.knn_bruteforce(
+        src_xyz, src_mask, ref.cloud.padded_xyz(), ref.cloud.mask,
+        k=cfg.knn, max_dist=cfg.max_match_dist,
+    )
+
+
+def _weights(res, reading, matched_normals_flat, cfg: ICPConfig):
+    """Composed outlier weights [N * k]."""
+    valid = res.valid()
+    w = valid.astype(jnp.float32)
+    if cfg.trimmed_ratio is not None:
+        w = w * outliers.trimmed_dist(res.dists, valid, cfg.trimmed_ratio)
+    if cfg.robust is not None:
+        if cfg.robust_scale > 0:
+            k2 = cfg.robust_scale**2
+        else:
+            k2 = jnp.maximum(outliers.mad_scale(res.dists, valid) ** 2, 1e-12)
+        w = w * outliers.robust_weight(cfg.robust, res.dists, k2)
+    w = w.reshape(-1)
+    if cfg.normal_angle_max is not None and reading.normals is not None:
+        rn = jnp.repeat(reading.normals, cfg.knn, axis=0)
+        w = w * outliers.surface_normal_gate(
+            rn, matched_normals_flat, valid.reshape(-1), cfg.normal_angle_max
+        )
+    return w
+
+
+def _solve(A, b, src_flat, mn_flat, ddn, pair_mask, cfg: ICPConfig):
+    method = cfg.degeneracy.method
+    if method == "solution_remapping":
+        x, loc = xicp.solve_with_solution_remapping(A, b, cfg.degeneracy)
+    elif method == "equality_constraints":
+        loc = xicp.analyze_equality_constraints(
+            A, b, src_flat, mn_flat, ddn, pair_mask, cfg.degeneracy
+        )
+        x = xicp.solve_with_equality_constraints(A, b, loc)
+    else:
+        x = minimizers.solve_normal_equations(A, b)
+        w6, _ = jnp.linalg.eigh(A)
+        loc = dataclasses.replace(
+            xicp._identity_result(A.dtype),
+            eigenvalues6=w6,
+            condition_number=jnp.max(jnp.abs(w6)) / jnp.maximum(jnp.min(jnp.abs(w6)), 1e-30),
+        )
+    return x, loc
+
+
+def icp_single(
+    reading: PointBatch,
+    ref: ICPReference,
+    init_T: jax.Array,
+    cfg: ICPConfig,
+) -> ICPResult:
+    """Register one reading against a prebuilt reference. vmap for batches."""
+    dtype = reading.xyz.dtype
+    n = reading.capacity
+    S = cfg.smooth_length
+
+    # Work in the reference-centered frame: T' = Trans(-c) . T_init.
+    shift = jnp.eye(4, dtype=dtype).at[:3, 3].set(-ref.centroid)
+    unshift = jnp.eye(4, dtype=dtype).at[:3, 3].set(ref.centroid)
+    T0 = shift @ init_T
+
+    n_valid = jnp.maximum(reading.count().astype(dtype), 1.0)
+
+    def one_iteration(T):
+        src = se3.apply_transform(T, reading.xyz)
+        res = _match(src, reading.mask, ref, cfg)
+        ids_flat = jnp.maximum(res.ids.reshape(-1), 0)
+        q = ref.cloud.xyz[ids_flat]
+        mn = ref.cloud.normals[ids_flat] if ref.cloud.normals is not None else jnp.zeros_like(q)
+        w = _weights(res, reading, mn, cfg)
+        src_flat = jnp.repeat(src, cfg.knn, axis=0)
+        pair_mask = res.valid().reshape(-1)
+
+        if cfg.minimizer == "point_to_point":
+            dT = minimizers.point_to_point_transform(src_flat, q, w)
+            loc = xicp._identity_result(dtype)
+            resid = jnp.sqrt(
+                jnp.sum(w * jnp.sum((src_flat - q) ** 2, -1)) / jnp.maximum(jnp.sum(w), 1e-9)
+            )
+        else:
+            if cfg.force_4dof:
+                A, b = minimizers.point_to_plane_4dof_normal_equations(src_flat, q, mn, w)
+                x = minimizers.solve_normal_equations(A, b)
+                loc = xicp._identity_result(dtype)
+                dT = minimizers.delta_transform_from_x(x, force_4dof=True)
+            else:
+                A, b = minimizers.point_to_plane_normal_equations(src_flat, q, mn, w)
+                ddn = jnp.sum((src_flat - q) * mn, axis=-1)
+                x, loc = _solve(A, b, src_flat, mn, ddn, pair_mask & (w > 0), cfg)
+                dT = minimizers.delta_transform_from_x(x)
+            r = jnp.sum((src_flat - q) * mn, axis=-1)
+            resid = jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1e-9))
+
+        match_ratio = jnp.sum(pair_mask.astype(dtype)) / (n_valid * cfg.knn)
+        overlap = jnp.sum((w > 0).astype(dtype)) / (n_valid * cfg.knn)
+        return dT, loc, match_ratio, overlap, resid
+
+    loc0 = xicp._identity_result(dtype)
+    state0 = dict(
+        T=T0,
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        drot=jnp.full((S,), 1e9, dtype),
+        dtrans=jnp.full((S,), 1e9, dtype),
+        loc=loc0,
+        match_ratio=jnp.asarray(0.0, dtype),
+        overlap=jnp.asarray(0.0, dtype),
+        resid=jnp.asarray(0.0, dtype),
+        converged=jnp.asarray(False),
+    )
+
+    def cond(s):
+        return (s["it"] < cfg.max_iterations) & ~s["done"]
+
+    def body(s):
+        dT, loc, match_ratio, overlap, resid = one_iteration(s["T"])
+        T_new = dT @ s["T"]
+        # Differential checker deltas between consecutive transforms.
+        dr = se3.rotation_angular_distance(T_new[:3, :3], s["T"][:3, :3])
+        dt = jnp.linalg.norm(T_new[:3, 3] - s["T"][:3, 3])
+        drot = jnp.roll(s["drot"], 1).at[0].set(dr)
+        dtrans = jnp.roll(s["dtrans"], 1).at[0].set(dt)
+        mean_rot = jnp.mean(drot)
+        mean_trans = jnp.mean(dtrans)
+        converged = (mean_rot < cfg.min_diff_rot) & (mean_trans < cfg.min_diff_trans)
+        return dict(
+            T=T_new,
+            it=s["it"] + 1,
+            done=converged,
+            drot=drot,
+            dtrans=dtrans,
+            loc=loc,
+            match_ratio=match_ratio,
+            overlap=overlap,
+            resid=resid,
+            converged=converged,
+        )
+
+    final = jax.lax.while_loop(cond, body, state0)
+
+    T_out = unshift @ final["T"]
+    loc = final["loc"]
+    degenerate = (jnp.min(loc.localizability_rot) < 0.5) | (
+        jnp.min(loc.localizability_trans) < 0.5
+    )
+    return ICPResult(
+        transform=T_out,
+        iterations=final["it"],
+        converged=final["converged"],
+        match_ratio=final["match_ratio"],
+        overlap_ratio=final["overlap"],
+        residual=final["resid"],
+        eigenvalues=loc.eigenvalues6,
+        condition_number=loc.condition_number,
+        localizability_rot=loc.localizability_rot,
+        localizability_trans=loc.localizability_trans,
+        degenerate=degenerate,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def register_pair(
+    reading: PointBatch,
+    reference: PointBatch,
+    init_T: jax.Array,
+    cfg: ICPConfig,
+) -> ICPResult:
+    """Convenience one-shot: build reference + run (≙ ``ICP::operator()``,
+    ``ICP.cpp:793-844``)."""
+    ref = build_reference(reference, cfg)
+    return icp_single(reading, ref, init_T, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def register_batch(
+    readings: PointBatch,
+    references: PointBatch,
+    init_Ts: jax.Array,
+    cfg: ICPConfig,
+) -> ICPResult:
+    """Batched registration: leading axis B on every input."""
+    def one(reading, reference, T):
+        return icp_single(reading, build_reference(reference, cfg), T, cfg)
+
+    return jax.vmap(one)(readings, references, init_Ts)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def register_hypotheses(
+    reading: PointBatch,
+    reference: PointBatch,
+    init_Ts: jax.Array,
+    cfg: ICPConfig,
+) -> ICPResult:
+    """Multi-hypothesis registration: one reading/reference pair, ``[H, 4, 4]``
+    initial poses (the relocalization workload — reference analogue is a
+    serial loop over RANSAC seeds in ``PlaceRecognition.cpp``)."""
+    ref = build_reference(reference, cfg)
+    return jax.vmap(lambda T: icp_single(reading, ref, T, cfg))(init_Ts)

@@ -1,0 +1,96 @@
+"""Golden-transform parity vs the reference C++ chain.
+
+Replicates libpointmatcher's regression harness (``utest.cpp:52-160``): run
+ICP on the bundled Hokuyo clouds (cloud.00000.vtk as reference,
+cloud.00001.vtk as reading) and compare against the checked-in golden
+transforms ``examples/data/icp_data/*.ref_trans`` with the same acceptance
+criterion: median |T_ours . data - T_golden . data| / median |T_ours . data|
+< 5% (homogeneous coordinates, like ``median_coeff``).
+
+Our chain uses the TPU ops (grid matcher, masked trimming) and mild
+downsampling for CPU test speed; the 5% criterion is designed to absorb
+such chain differences (the reference's own configs use random sampling).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REF_DATA = "/root/reference/libpointmatcher/examples/data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_DATA), reason="reference data not mounted"
+)
+
+from open3d_slam_private_tpu.io import load_vtk  # noqa: E402
+from open3d_slam_private_tpu.models import icp as icp_mod  # noqa: E402
+from open3d_slam_private_tpu.ops import filters, voxel  # noqa: E402
+from open3d_slam_private_tpu.ops import normals as normals_mod  # noqa: E402
+from open3d_slam_private_tpu.ops import pointcloud as pc  # noqa: E402
+
+
+def load_golden(name):
+    path = os.path.join(REF_DATA, "icp_data", name + ".ref_trans")
+    return np.loadtxt(path, dtype=np.float64)
+
+
+def median_rel_err(T_ours, T_golden, data_pts):
+    """The utest acceptance metric on homogeneous 4xN features."""
+    h = np.c_[data_pts, np.ones((len(data_pts), 1), np.float32)].T  # 4 x N
+    ours = np.asarray(T_ours, np.float64) @ h
+    gold = np.asarray(T_golden, np.float64) @ h
+    med_diff = np.median(np.abs(ours - gold))
+    med_data = np.median(np.abs(ours))
+    return med_diff / med_data
+
+
+@pytest.fixture(scope="module")
+def clouds():
+    ref_pts, _ = load_vtk(os.path.join(REF_DATA, "cloud.00000.vtk"))
+    read_pts, _ = load_vtk(os.path.join(REF_DATA, "cloud.00001.vtk"))
+    # Reference side: voxel 0.3 + grid normals (≙ SamplingSurfaceNormal).
+    ref = pc.from_points(ref_pts, capacity=32768)
+    ref = voxel.voxel_downsample(ref, 0.3, capacity=16384)
+    ref = normals_mod.estimate_normals(ref, knn=10, max_dist=2.0)
+    # Reading side: deterministic random subsample for speed.
+    read = pc.from_points(read_pts, capacity=32768)
+    read = filters.max_point_count(read, jax.random.key(0), 8192)
+    read = pc.compact(read, 8192)
+    return ref, read, read_pts
+
+
+GOLDEN_CFG = icp_mod.ICPConfig(
+    knn=1,
+    max_match_dist=2.0,
+    matcher="grid",
+    grid_table_size=1 << 15,
+    grid_bucket_cap=16,
+    trimmed_ratio=0.75,
+    minimizer="point_to_plane",
+    max_iterations=40,
+    min_diff_rot=0.001,
+    min_diff_trans=0.01,
+    smooth_length=4,
+)
+
+
+@pytest.mark.parametrize(
+    "golden_name",
+    [
+        "defaultIdentityDataPointsFilter",
+        "defaultMaxDistDataPointsFilter",
+        "defaultMaxPointCountDataPointsFilter",
+        "defaultRemoveNaNDataPointsFilter",
+        "SamplingSurfaceNormalDataPointsFilter1",
+        "defaultRobustOutlierFilter",
+    ],
+)
+def test_golden_transform_parity(clouds, golden_name):
+    ref, read, read_full = clouds
+    golden = load_golden(golden_name)
+    res = icp_mod.register_pair(read, ref, jnp.eye(4), GOLDEN_CFG)
+    err = median_rel_err(np.asarray(res.transform), golden, read_full)
+    assert err < 0.05, f"{golden_name}: rel err {err:.4f} vs golden\n{np.asarray(res.transform)}\n{golden}"

@@ -1,0 +1,263 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open3d_slam_private_tpu.geometry import se3
+from open3d_slam_private_tpu.models import icp as icp_mod
+from open3d_slam_private_tpu.models import minimizers
+from open3d_slam_private_tpu.models.localizability import DegeneracyConfig
+from open3d_slam_private_tpu.ops import normals as normals_mod
+from open3d_slam_private_tpu.ops import pointcloud as pc
+
+
+def make_surface_cloud(rng, n=2000):
+    """Box-ish scene with 3 orthogonal planes: fully constrains 6 DoF."""
+    m = n // 3
+    floor = np.c_[rng.uniform(-3, 3, (m, 2)), np.zeros((m, 1))]
+    wallx = np.c_[np.zeros((m, 1)), rng.uniform(-3, 3, (m, 2))]
+    wally = np.c_[rng.uniform(-3, 3, (m, 1)), np.full((m, 1), 3.0), rng.uniform(0, 3, (m, 1))]
+    pts = np.vstack([floor, wallx, wally]).astype(np.float32)
+    return pts + rng.normal(size=pts.shape).astype(np.float32) * 0.002
+
+
+def with_normals(pts, capacity=None):
+    b = pc.from_points(pts, capacity=capacity)
+    return normals_mod.estimate_normals(b, knn=10, orient_towards=(0.0, 0.0, 10.0))
+
+
+def small_transform(rot=0.05, trans=0.15):
+    return se3.exp_se3(
+        jnp.asarray([rot, -rot * 0.6, rot * 0.3, trans, -trans * 0.5, trans * 0.8], jnp.float32)
+    )
+
+
+BASE_CFG = icp_mod.ICPConfig(
+    knn=1,
+    max_match_dist=0.5,
+    matcher="brute",
+    trimmed_ratio=0.9,
+    minimizer="point_to_plane",
+    max_iterations=30,
+    min_diff_rot=1e-4,
+    min_diff_trans=1e-4,
+)
+
+
+def pose_error(T_est, T_true):
+    delta = np.asarray(se3.transform_inverse(jnp.asarray(T_est)) @ T_true)
+    rot_err = np.arccos(np.clip((np.trace(delta[:3, :3]) - 1) / 2, -1, 1))
+    trans_err = np.linalg.norm(delta[:3, 3])
+    return rot_err, trans_err
+
+
+def test_point_to_plane_recovers_transform(rng):
+    ref_pts = make_surface_cloud(rng)
+    ref = with_normals(ref_pts)
+    T_true = small_transform()
+    # reading = T_true^-1 * ref  => aligning reading to ref should give T_true.
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    reading = pc.from_points(reading_pts)
+    res = icp_mod.register_pair(reading, ref, jnp.eye(4), BASE_CFG)
+    rot_err, trans_err = pose_error(res.transform, T_true)
+    assert trans_err < 1e-3, trans_err
+    assert rot_err < 1e-4, rot_err
+    assert bool(res.converged)
+    assert float(res.overlap_ratio) > 0.85
+
+
+def test_grid_matcher_matches_brute(rng):
+    ref_pts = make_surface_cloud(rng)
+    ref = with_normals(ref_pts)
+    T_true = small_transform()
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    reading = pc.from_points(reading_pts)
+    cfg_grid = icp_mod.ICPConfig(**{**BASE_CFG.__dict__, "matcher": "grid",
+                                    "grid_table_size": 1 << 14, "grid_bucket_cap": 32})
+    res_b = icp_mod.register_pair(reading, ref, jnp.eye(4), BASE_CFG)
+    res_g = icp_mod.register_pair(reading, ref, jnp.eye(4), cfg_grid)
+    np.testing.assert_allclose(
+        np.asarray(res_g.transform), np.asarray(res_b.transform), atol=2e-3
+    )
+
+
+def test_point_to_point_recovers_transform(rng):
+    ref_pts = make_surface_cloud(rng)
+    ref = pc.from_points(ref_pts)
+    T_true = small_transform(rot=0.03, trans=0.05)
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    reading = pc.from_points(reading_pts)
+    cfg = icp_mod.ICPConfig(**{**BASE_CFG.__dict__, "minimizer": "point_to_point",
+                               "trimmed_ratio": 0.95})
+    res = icp_mod.register_pair(reading, ref, jnp.eye(4), cfg)
+    rot_err, trans_err = pose_error(res.transform, T_true)
+    assert trans_err < 5e-3
+    assert rot_err < 5e-3
+
+
+def test_kabsch_exact_single_shot(rng):
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    T_true = np.asarray(small_transform(0.3, 1.0))
+    moved = pts @ T_true[:3, :3].T + T_true[:3, 3]
+    T = minimizers.point_to_point_transform(
+        jnp.asarray(pts), jnp.asarray(moved), jnp.ones(100)
+    )
+    np.testing.assert_allclose(np.asarray(T), T_true, atol=1e-5)
+
+
+def test_icp_with_initial_guess(rng):
+    # Large offset fails from identity but succeeds from a good guess.
+    ref_pts = make_surface_cloud(rng)
+    ref = with_normals(ref_pts)
+    T_true = se3.exp_se3(jnp.asarray([0.4, 0.2, -0.3, 2.0, 1.5, 0.4], jnp.float32))
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    reading = pc.from_points(reading_pts)
+    T_guess = T_true @ np.asarray(se3.exp_se3(jnp.asarray([0.02, 0, 0, 0.05, 0, 0], jnp.float32)))
+    res = icp_mod.register_pair(reading, ref, jnp.asarray(T_guess), BASE_CFG)
+    rot_err, trans_err = pose_error(res.transform, T_true)
+    assert trans_err < 2e-3
+    assert rot_err < 2e-3
+
+
+def test_identical_clouds_identity(rng):
+    ref_pts = make_surface_cloud(rng, 900)
+    ref = with_normals(ref_pts)
+    reading = pc.from_points(ref_pts)
+    res = icp_mod.register_pair(reading, ref, jnp.eye(4), BASE_CFG)
+    rot_err, trans_err = pose_error(res.transform, jnp.eye(4))
+    assert trans_err < 1e-4
+    assert rot_err < 1e-4
+    assert not bool(jnp.any(jnp.isnan(res.transform)))
+
+
+def test_trimmed_rejects_outlier_region(rng):
+    # Reading has 20% of points displaced; trimmed 0.75 should ignore them.
+    ref_pts = make_surface_cloud(rng)
+    ref = with_normals(ref_pts)
+    T_true = small_transform(0.02, 0.05)
+    reading_pts = np.array(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    n_out = len(reading_pts) // 5
+    reading_pts[:n_out] += rng.normal(size=(n_out, 3)).astype(np.float32) * 0.2 + 0.3
+    cfg = icp_mod.ICPConfig(**{**BASE_CFG.__dict__, "trimmed_ratio": 0.75})
+    res = icp_mod.register_pair(pc.from_points(reading_pts), ref, jnp.eye(4), cfg)
+    rot_err, trans_err = pose_error(res.transform, T_true)
+    assert trans_err < 5e-3
+    assert rot_err < 5e-3
+
+
+def corridor_cloud(rng, n=3000):
+    """Two parallel walls + floor: unconstrained along x (corridor axis)."""
+    m = n // 3
+    floor = np.c_[rng.uniform(-5, 5, (m, 1)), rng.uniform(-1, 1, (m, 1)), np.zeros((m, 1))]
+    w1 = np.c_[rng.uniform(-5, 5, (m, 1)), np.full((m, 1), 1.0), rng.uniform(0, 2, (m, 1))]
+    w2 = np.c_[rng.uniform(-5, 5, (m, 1)), np.full((m, 1), -1.0), rng.uniform(0, 2, (m, 1))]
+    return np.vstack([floor, w1, w2]).astype(np.float32)
+
+
+def test_solution_remapping_locks_corridor_axis(rng):
+    ref_pts = corridor_cloud(rng)
+    ref = with_normals(ref_pts)
+    # True offset along the corridor: unobservable; ICP should NOT move x.
+    T_true = se3.exp_se3(jnp.asarray([0, 0, 0, 0.5, 0, 0], jnp.float32))
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    cfg = icp_mod.ICPConfig(**{
+        **BASE_CFG.__dict__,
+        "degeneracy": DegeneracyConfig(method="solution_remapping",
+                                       solution_remapping_threshold=150.0),
+    })
+    res = icp_mod.register_pair(pc.from_points(reading_pts), ref, jnp.eye(4), cfg)
+    T = np.asarray(res.transform)
+    # x must stay (near) zero: the degenerate direction is projected out.
+    assert abs(T[0, 3]) < 0.05, T[0, 3]
+    # eigenvalue spread reported
+    assert float(res.condition_number) > 10
+
+
+def test_equality_constraints_lock_corridor_axis(rng):
+    ref_pts = corridor_cloud(rng)
+    ref = with_normals(ref_pts)
+    T_true = se3.exp_se3(jnp.asarray([0, 0, 0, 0.5, 0, 0], jnp.float32))
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    cfg = icp_mod.ICPConfig(**{
+        **BASE_CFG.__dict__,
+        "degeneracy": DegeneracyConfig(method="equality_constraints"),
+    })
+    res = icp_mod.register_pair(pc.from_points(reading_pts), ref, jnp.eye(4), cfg)
+    T = np.asarray(res.transform)
+    assert abs(T[0, 3]) < 0.05, T[0, 3]
+    assert bool(res.degenerate)
+    # The x translation direction must be flagged non-localizable.
+    assert float(jnp.min(res.localizability_trans)) < 0.5
+
+
+def test_equality_constraints_well_constrained_matches_vanilla(rng):
+    ref_pts = make_surface_cloud(rng)
+    ref = with_normals(ref_pts)
+    T_true = small_transform()
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    reading = pc.from_points(reading_pts)
+    cfg = icp_mod.ICPConfig(**{
+        **BASE_CFG.__dict__,
+        "degeneracy": DegeneracyConfig(method="equality_constraints"),
+    })
+    res_c = icp_mod.register_pair(reading, ref, jnp.eye(4), cfg)
+    res_v = icp_mod.register_pair(reading, ref, jnp.eye(4), BASE_CFG)
+    assert not bool(res_c.degenerate)
+    np.testing.assert_allclose(
+        np.asarray(res_c.transform), np.asarray(res_v.transform), atol=1e-4
+    )
+
+
+def test_register_hypotheses(rng):
+    ref_pts = make_surface_cloud(rng, 900)
+    ref = with_normals(ref_pts, capacity=1024)
+    T_true = small_transform()
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    reading = pc.from_points(reading_pts, capacity=1024)
+    # 4 hypotheses: one good, three bad.
+    inits = np.stack([
+        np.eye(4, dtype=np.float32),
+        np.asarray(se3.exp_se3(jnp.asarray([0, 0, 1.5, 4, 0, 0], jnp.float32))),
+        np.asarray(se3.exp_se3(jnp.asarray([0, 0, -2.0, -4, 2, 0], jnp.float32))),
+        np.asarray(se3.exp_se3(jnp.asarray([1.5, 0, 0, 0, -5, 1], jnp.float32))),
+    ])
+    res = icp_mod.register_hypotheses(reading, ref, jnp.asarray(inits), BASE_CFG)
+    assert res.transform.shape == (4, 4, 4)
+    residuals = np.asarray(res.residual)
+    best = int(np.argmin(np.where(np.asarray(res.overlap_ratio) > 0.5, residuals, np.inf)))
+    assert best == 0
+    rot_err, trans_err = pose_error(np.asarray(res.transform)[0], T_true)
+    assert trans_err < 2e-3
+
+
+def test_register_batch(rng):
+    B = 3
+    readings, refs, inits, trues = [], [], [], []
+    for i in range(B):
+        ref_pts = make_surface_cloud(rng, 900)
+        twist = np.array([0.02 * (i + 1), 0, 0, 0.1 * (i + 1), 0, 0], np.float32)
+        T_true = se3.exp_se3(jnp.asarray(twist))
+        reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+        refs.append(with_normals(ref_pts, capacity=1024))
+        readings.append(pc.from_points(reading_pts, capacity=1024))
+        inits.append(np.eye(4, dtype=np.float32))
+        trues.append(T_true)
+    res = icp_mod.register_batch(pc.stack(readings), pc.stack(refs), jnp.asarray(np.stack(inits)), BASE_CFG)
+    for i in range(B):
+        rot_err, trans_err = pose_error(np.asarray(res.transform)[i], trues[i])
+        assert trans_err < 3e-3, (i, trans_err)
+
+
+def test_4dof_mode(rng):
+    ref_pts = make_surface_cloud(rng)
+    ref = with_normals(ref_pts)
+    T_true = se3.exp_se3(jnp.asarray([0, 0, 0.04, 0.1, -0.05, 0.08], jnp.float32))
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    cfg = icp_mod.ICPConfig(**{**BASE_CFG.__dict__, "force_4dof": True})
+    res = icp_mod.register_pair(pc.from_points(reading_pts), ref, jnp.eye(4), cfg)
+    rot_err, trans_err = pose_error(res.transform, T_true)
+    assert trans_err < 3e-3
+    assert rot_err < 1e-3
+    # Rotation must be pure yaw.
+    T = np.asarray(res.transform)
+    assert abs(T[2, 0]) < 1e-5 and abs(T[2, 1]) < 1e-5
