@@ -1,0 +1,167 @@
+"""Benchmark driver — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.md): scan-to-map registrations/s/chip at 64k reading
+points against a voxelized submap, full X-ICP-style chain (grid-hash
+matcher, trimmed outliers, fused point-to-plane GN, 30-iteration budget
+with differential convergence). Baseline target: 2000/s on a v5p-8 host
+= 250/s/chip; vs_baseline is measured against that per-chip figure.
+
+Also measures (reported in the `extra` field, not the headline line):
+p50 single-registration latency (10 Hz budget: 100 ms) and batched
+multi-hypothesis throughput.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def synth_scene(n_ref, seed=0):
+    """LiDAR-like scene: ground plane + building walls + scattered columns."""
+    rng = np.random.default_rng(seed)
+    n_floor = n_ref // 2
+    n_rest = n_ref - n_floor
+    floor = np.c_[rng.uniform(-40, 40, (n_floor, 2)), rng.normal(0, 0.02, (n_floor, 1))]
+    k = 8
+    walls = []
+    for i in range(k):
+        m = n_rest // k
+        ang = 2 * np.pi * i / k
+        d = rng.uniform(10, 35)
+        u = np.array([np.cos(ang), np.sin(ang)])
+        t = rng.uniform(-12, 12, (m, 1))
+        h = rng.uniform(0, 6, (m, 1))
+        base = d * u[None, :] + t * np.array([[-u[1], u[0]]])
+        walls.append(np.c_[base, h])
+    pts = np.vstack([floor] + walls).astype(np.float32)
+    return pts + rng.normal(size=pts.shape).astype(np.float32) * 0.01
+
+
+def sample_scan(scene, n, T_inv, seed):
+    rng = np.random.default_rng(seed)
+    sel = rng.integers(0, len(scene), size=n)
+    pts = scene[sel]
+    R, t = np.asarray(T_inv)[:3, :3], np.asarray(T_inv)[:3, 3]
+    return (pts @ R.T + t).astype(np.float32)
+
+
+def main():
+    from open3d_slam_private_tpu.geometry import se3
+    from open3d_slam_private_tpu.models import icp as icp_mod
+    from open3d_slam_private_tpu.ops import normals as normals_mod
+    from open3d_slam_private_tpu.ops import pointcloud as pc
+    from open3d_slam_private_tpu.ops import voxel
+
+    N_READ = 65536
+    MAP_CAP = 131072
+    B = 8  # concurrent registrations per chip
+    ROUNDS = 6
+
+    cfg = icp_mod.ICPConfig(
+        knn=1,
+        max_match_dist=0.5,
+        matcher="grid",
+        grid_table_size=1 << 17,
+        grid_bucket_cap=8,
+        trimmed_ratio=0.9,
+        minimizer="point_to_plane",
+        max_iterations=30,
+        min_diff_rot=1e-3,
+        min_diff_trans=8e-3,
+    )
+
+    # Build the submap: dense scene voxelized to 0.15 m with normals.
+    from open3d_slam_private_tpu.ops import grid_hash
+
+    scene = synth_scene(400_000)
+    submap = pc.from_points(scene, capacity=512 * 1024)
+    submap = voxel.voxel_downsample(submap, 0.15, capacity=MAP_CAP)
+    ngrid = grid_hash.build_grid(submap.padded_xyz(), submap.mask, 1.0, 1 << 17, 32)
+    submap = normals_mod.estimate_normals_grid(
+        submap, ngrid, knn=8, max_dist=0.5, orient_towards=(0.0, 0.0, 20.0)
+    )
+    ref = icp_mod.build_reference(submap, cfg)
+
+    # Readings: B scans at 64k points with small true offsets + odometry
+    # prior ~5 cm off.
+    T_trues, scans, priors = [], [], []
+    for i in range(B):
+        twist = np.array([0.01, -0.008, 0.012, 0.08, -0.05, 0.03], np.float32) * (1 + 0.1 * i)
+        T_true = se3.exp_se3(jnp.asarray(twist))
+        T_inv = se3.transform_inverse(T_true)
+        scans.append(pc.from_points(sample_scan(scene, N_READ, T_inv, seed=i), capacity=N_READ))
+        prior = np.asarray(T_true) @ np.asarray(
+            se3.exp_se3(jnp.asarray([0.004, 0, -0.003, 0.03, 0.02, -0.01], jnp.float32))
+        )
+        priors.append(prior.astype(np.float32))
+        T_trues.append(np.asarray(T_true))
+    readings = pc.stack(scans)
+    init_Ts = jnp.asarray(np.stack(priors))
+
+    run = jax.jit(
+        jax.vmap(lambda r, T: icp_mod.icp_single(r, ref, T, cfg).transform, in_axes=(0, 0))
+    )
+
+    # Warmup / compile.
+    out = run(readings, init_Ts)
+    out.block_until_ready()
+
+    # Throughput.
+    t0 = time.perf_counter()
+    for _ in range(ROUNDS):
+        out = run(readings, init_Ts)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    regs_per_s = ROUNDS * B / dt
+
+    # Accuracy sanity: every registration within tolerance of truth.
+    errs = []
+    for i in range(B):
+        delta = np.linalg.inv(np.asarray(out)[i]) @ T_trues[i]
+        errs.append(np.linalg.norm(delta[:3, 3]))
+    max_trans_err = float(np.max(errs))
+
+    # Single-problem p50 latency (the 10 Hz real-time budget).
+    run1 = jax.jit(lambda r, T: icp_mod.icp_single(r, ref, T, cfg).transform)
+    one = run1(scans[0], init_Ts[0])
+    one.block_until_ready()
+    lats = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        run1(scans[0], init_Ts[0]).block_until_ready()
+        lats.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lats) * 1e3)
+
+    baseline_per_chip = 250.0  # 2000/s on 8 chips
+    print(
+        json.dumps(
+            {
+                "metric": "scan_to_map_registrations_per_s_per_chip_64k",
+                "value": round(regs_per_s, 2),
+                "unit": "registrations/s",
+                "vs_baseline": round(regs_per_s / baseline_per_chip, 3),
+                "extra": {
+                    "p50_latency_ms": round(p50_ms, 2),
+                    "latency_budget_ms": 100.0,
+                    "batch": B,
+                    "reading_points": N_READ,
+                    "map_points": int(jnp.sum(submap.mask)),
+                    "max_trans_err_m": round(max_trans_err, 5),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,13 @@ class ICPConfig:
     min_diff_trans: float = 1e-3  # m, smoothed
     smooth_length: int = 3
 
+    # Multi-device: when set, the reading's point axis is sharded over this
+    # mesh axis (inside shard_map); partial 6x6 blocks are psum-reduced and
+    # trimming quantiles computed on all-gathered distances. The TP/SP
+    # analogue for this workload (SURVEY 2.6): communication is 42 floats
+    # per problem per iteration.
+    shard_axis: Optional[str] = None
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -129,20 +136,29 @@ def build_reference(reference: PointBatch, cfg: ICPConfig) -> ICPReference:
             cell,
             table_size=cfg.grid_table_size,
             bucket_cap=cfg.grid_bucket_cap,
+            normals=centered.normals,  # inlined payload: match => no gathers
         )
     return ICPReference(cloud=centered, centroid=c, grid=grid)
 
 
-def _match(src_xyz, src_mask, ref: ICPReference, cfg: ICPConfig) -> knn_mod.KnnResult:
+def _match(src_xyz, src_mask, ref: ICPReference, cfg: ICPConfig) -> grid_mod.MatchResult:
+    """Correspondences with inlined matched payloads (xyz + normals)."""
     if cfg.matcher == "grid":
-        return grid_mod.grid_knn(
-            ref.grid, ref.cloud.padded_xyz(), src_xyz, src_mask,
-            k=cfg.knn, max_dist=cfg.max_match_dist,
+        return grid_mod.grid_match(
+            ref.grid, src_xyz, src_mask, k=cfg.knn, max_dist=cfg.max_match_dist
         )
-    return knn_mod.knn_bruteforce(
+    res = knn_mod.knn_bruteforce(
         src_xyz, src_mask, ref.cloud.padded_xyz(), ref.cloud.mask,
         k=cfg.knn, max_dist=cfg.max_match_dist,
     )
+    ids_safe = jnp.maximum(res.ids, 0)
+    q = ref.cloud.xyz[ids_safe]
+    mn = (
+        ref.cloud.normals[ids_safe]
+        if ref.cloud.normals is not None
+        else jnp.zeros_like(q)
+    )
+    return grid_mod.MatchResult(dists=res.dists, ids=res.ids, xyz=q, normals=mn)
 
 
 def _weights(res, reading, matched_normals_flat, cfg: ICPConfig):
@@ -150,7 +166,16 @@ def _weights(res, reading, matched_normals_flat, cfg: ICPConfig):
     valid = res.valid()
     w = valid.astype(jnp.float32)
     if cfg.trimmed_ratio is not None:
-        w = w * outliers.trimmed_dist(res.dists, valid, cfg.trimmed_ratio)
+        if cfg.shard_axis is not None:
+            # Global trimming quantile across all shards of the point axis.
+            from open3d_slam_private_tpu.ops.pointcloud import masked_quantile
+
+            d_all = jax.lax.all_gather(res.dists, cfg.shard_axis, tiled=True)
+            v_all = jax.lax.all_gather(valid, cfg.shard_axis, tiled=True)
+            limit = masked_quantile(d_all.reshape(-1), v_all.reshape(-1), cfg.trimmed_ratio)
+            w = w * ((res.dists <= limit) & valid).astype(jnp.float32)
+        else:
+            w = w * outliers.trimmed_dist(res.dists, valid, cfg.trimmed_ratio)
     if cfg.robust is not None:
         if cfg.robust_scale > 0:
             k2 = cfg.robust_scale**2
@@ -172,7 +197,8 @@ def _solve(A, b, src_flat, mn_flat, ddn, pair_mask, cfg: ICPConfig):
         x, loc = xicp.solve_with_solution_remapping(A, b, cfg.degeneracy)
     elif method == "equality_constraints":
         loc = xicp.analyze_equality_constraints(
-            A, b, src_flat, mn_flat, ddn, pair_mask, cfg.degeneracy
+            A, b, src_flat, mn_flat, ddn, pair_mask, cfg.degeneracy,
+            axis_name=cfg.shard_axis,
         )
         x = xicp.solve_with_equality_constraints(A, b, loc)
     else:
@@ -202,40 +228,47 @@ def icp_single(
     unshift = jnp.eye(4, dtype=dtype).at[:3, 3].set(ref.centroid)
     T0 = shift @ init_T
 
-    n_valid = jnp.maximum(reading.count().astype(dtype), 1.0)
+    def _allsum(v):
+        return jax.lax.psum(v, cfg.shard_axis) if cfg.shard_axis is not None else v
+
+    n_valid = jnp.maximum(_allsum(reading.count().astype(dtype)), 1.0)
 
     def one_iteration(T):
         src = se3.apply_transform(T, reading.xyz)
         res = _match(src, reading.mask, ref, cfg)
-        ids_flat = jnp.maximum(res.ids.reshape(-1), 0)
-        q = ref.cloud.xyz[ids_flat]
-        mn = ref.cloud.normals[ids_flat] if ref.cloud.normals is not None else jnp.zeros_like(q)
+        q = res.xyz.reshape(-1, 3)
+        mn = res.normals.reshape(-1, 3)
         w = _weights(res, reading, mn, cfg)
         src_flat = jnp.repeat(src, cfg.knn, axis=0)
         pair_mask = res.valid().reshape(-1)
 
         if cfg.minimizer == "point_to_point":
-            dT = minimizers.point_to_point_transform(src_flat, q, w)
+            dT = minimizers.point_to_point_transform(src_flat, q, w, axis_name=cfg.shard_axis)
             loc = xicp._identity_result(dtype)
             resid = jnp.sqrt(
-                jnp.sum(w * jnp.sum((src_flat - q) ** 2, -1)) / jnp.maximum(jnp.sum(w), 1e-9)
+                _allsum(jnp.sum(w * jnp.sum((src_flat - q) ** 2, -1)))
+                / jnp.maximum(_allsum(jnp.sum(w)), 1e-9)
             )
         else:
             if cfg.force_4dof:
                 A, b = minimizers.point_to_plane_4dof_normal_equations(src_flat, q, mn, w)
+                A, b = _allsum(A), _allsum(b)
                 x = minimizers.solve_normal_equations(A, b)
                 loc = xicp._identity_result(dtype)
                 dT = minimizers.delta_transform_from_x(x, force_4dof=True)
             else:
                 A, b = minimizers.point_to_plane_normal_equations(src_flat, q, mn, w)
+                A, b = _allsum(A), _allsum(b)
                 ddn = jnp.sum((src_flat - q) * mn, axis=-1)
                 x, loc = _solve(A, b, src_flat, mn, ddn, pair_mask & (w > 0), cfg)
                 dT = minimizers.delta_transform_from_x(x)
             r = jnp.sum((src_flat - q) * mn, axis=-1)
-            resid = jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1e-9))
+            resid = jnp.sqrt(
+                _allsum(jnp.sum(w * r * r)) / jnp.maximum(_allsum(jnp.sum(w)), 1e-9)
+            )
 
-        match_ratio = jnp.sum(pair_mask.astype(dtype)) / (n_valid * cfg.knn)
-        overlap = jnp.sum((w > 0).astype(dtype)) / (n_valid * cfg.knn)
+        match_ratio = _allsum(jnp.sum(pair_mask.astype(dtype))) / (n_valid * cfg.knn)
+        overlap = _allsum(jnp.sum((w > 0).astype(dtype))) / (n_valid * cfg.knn)
         return dT, loc, match_ratio, overlap, resid
 
     loc0 = xicp._identity_result(dtype)

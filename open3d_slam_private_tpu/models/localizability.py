@@ -136,6 +136,7 @@ def _partial_constraint_values(
     deltas_dot_n,  # [P] (p - q) . n per pair
     eigvecs,  # [3, 3]
     is_rotation: bool,
+    axis_name=None,
 ):
     """3-DoF re-solve on the selected subset, projected onto each direction
     (``solveSimpleOptimizationProblemForPartialConstraints``,
@@ -145,6 +146,9 @@ def _partial_constraint_values(
     def per_dir(sel, v):
         A3 = jnp.einsum("p,pi,pj->ij", sel, basis, basis)
         b3 = -jnp.einsum("p,pi,p->i", sel, basis, deltas_dot_n)
+        if axis_name is not None:
+            A3 = jax.lax.psum(A3, axis_name)
+            b3 = jax.lax.psum(b3, axis_name)
         x3 = solve_normal_equations(A3, b3)
         return v @ x3
 
@@ -159,6 +163,7 @@ def analyze_equality_constraints(
     deltas_dot_n,
     pair_mask,
     cfg: DegeneracyConfig,
+    axis_name=None,
 ):
     """Full X-ICP ternary localizability analysis for one problem.
 
@@ -168,6 +173,10 @@ def analyze_equality_constraints(
     Returns a LocalizabilityResult; categories 0 => direction constrained.
     """
     dtype = A.dtype
+
+    def allsum(v):
+        return jax.lax.psum(v, axis_name) if axis_name is not None else v
+
     # Per-subspace eigenanalysis (``eigenAnalysis`` 3x3, ICP.cpp:1581-1591).
     rot_w, rot_V = eigh3x3(A[:3, :3][None])
     tr_w, tr_V = eigh3x3(A[3:, 3:][None])
@@ -178,14 +187,16 @@ def analyze_equality_constraints(
 
     # Alignment vectors (``ICP.cpp:1760-1790``): translation -> normals;
     # rotation -> cross((p - center), n), normalized only if ||.|| >= 1.
-    count = jnp.maximum(jnp.sum(pair_mask.astype(dtype)), 1.0)
-    center = jnp.sum(jnp.where(pair_mask[:, None], src_xyz, 0.0), axis=0) / count
+    count = jnp.maximum(allsum(jnp.sum(pair_mask.astype(dtype))), 1.0)
+    center = allsum(jnp.sum(jnp.where(pair_mask[:, None], src_xyz, 0.0), axis=0)) / count
     crosses = jnp.cross(src_xyz - center, matched_normals)
     cnorm = jnp.linalg.norm(crosses, axis=-1, keepdims=True)
     crosses = jnp.where(cnorm >= 1.0, crosses / jnp.maximum(cnorm, 1e-30), crosses)
 
     comb_r, high_r, weak_r, strong_r = _subspace_contributions(crosses, rot_V, pair_mask, cfg)
     comb_t, high_t, weak_t, strong_t = _subspace_contributions(matched_normals, tr_V, pair_mask, cfg)
+    comb_r, high_r = allsum(comb_r), allsum(high_r)
+    comb_t, high_t = allsum(comb_t), allsum(high_t)
 
     def categorize(comb, high):
         localizable = (comb >= cfg.high_information_threshold) | (
@@ -206,8 +217,8 @@ def analyze_equality_constraints(
     sel_r = sel_r * pair_mask[:, None].astype(dtype)
     sel_t = sel_t * pair_mask[:, None].astype(dtype)
 
-    cons_r = _partial_constraint_values(sel_r, matched_normals, crosses, deltas_dot_n, rot_V, True)
-    cons_t = _partial_constraint_values(sel_t, matched_normals, crosses, deltas_dot_n, tr_V, False)
+    cons_r = _partial_constraint_values(sel_r, matched_normals, crosses, deltas_dot_n, rot_V, True, axis_name)
+    cons_t = _partial_constraint_values(sel_t, matched_normals, crosses, deltas_dot_n, tr_V, False, axis_name)
     # Non-localizable or localizable directions get value 0 (locked / inert).
     cons_r = jnp.where(mix_r | hi_r, cons_r, 0.0)
     cons_t = jnp.where(mix_t | hi_t, cons_t, 0.0)

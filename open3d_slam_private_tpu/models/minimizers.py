@@ -101,19 +101,24 @@ def delta_transform_from_x(x: jax.Array, force_4dof: bool = False) -> jax.Array:
     return se3.rigid_from_axis_angle_atan(x)
 
 
-def point_to_point_transform(src_xyz, ref_xyz, weights) -> jax.Array:
+def point_to_point_transform(src_xyz, ref_xyz, weights, axis_name=None) -> jax.Array:
     """Weighted Kabsch/Umeyama closed-form rigid alignment p -> q.
 
     The reference's PointToPointErrorMinimizer (``PointToPoint.cpp``):
     cross-covariance SVD with det-correction, translation from weighted
-    centroids. Returns ``[4, 4]``.
+    centroids. Returns ``[4, 4]``. With ``axis_name``, the point axis is
+    sharded and all sums are psum-reduced.
     """
-    w = weights / jnp.maximum(jnp.sum(weights), 1e-12)
-    cp = jnp.einsum("p,pi->i", w, src_xyz)
-    cq = jnp.einsum("p,pi->i", w, ref_xyz)
+
+    def allsum(v):
+        return jax.lax.psum(v, axis_name) if axis_name is not None else v
+
+    w = weights / jnp.maximum(allsum(jnp.sum(weights)), 1e-12)
+    cp = allsum(jnp.einsum("p,pi->i", w, src_xyz))
+    cq = allsum(jnp.einsum("p,pi->i", w, ref_xyz))
     P = src_xyz - cp
     Q = ref_xyz - cq
-    H = jnp.einsum("p,pi,pj->ij", w, P, Q)
+    H = allsum(jnp.einsum("p,pi,pj->ij", w, P, Q))
     U, _, Vt = jnp.linalg.svd(H)
     d = jnp.linalg.det(Vt.T @ U.T)
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0], H.dtype)).at[2, 2].set(d)

@@ -1,31 +1,32 @@
 """Device spatial grid hash — the TPU replacement for both the libnabo
 KD-tree (``MatchersImpl.cpp``, KNN correspondence search) and the CPU
-``VoxelHashMap`` (``open3d_slam/include/open3d_slam/VoxelHashMap.hpp``,
-``unordered_map<Vector3i, Voxel>``).
+``VoxelHashMap`` (``open3d_slam/include/open3d_slam/VoxelHashMap.hpp``).
 
-Design
-------
-No pointer chasing: the "tree build" is one argsort. Points are hashed by
-their grid cell into ``T`` buckets of fixed capacity ``C``; point indices are
-scattered into a flat ``[T * C]`` slot table using their rank within the
-bucket (rank computed from the sorted hash keys). A KNN query reads the
-2x2x2 block of cells nearest the query point (cell size = 2 * search radius
-guarantees that block covers the radius), gathers up to ``8 * C`` candidate
-ids, and resolves true squared distances — so hash collisions can only add
-false candidates (filtered by distance), never wrong matches. The only
-approximation is bucket overflow (> C points in one bucket drops the excess),
-which tests bound statistically; size ``C`` generously for voxel-downsampled
-maps.
+Design (TPU-first)
+------------------
+No pointer chasing and no per-point gathers. The "tree build" is one argsort
+plus one scatter that packs each point's *payload* — position, index, and
+optionally its normal — directly into a dense bucket table:
 
-Build is O(M log M) compare ops in one bitonic sort + O(M) scatter; query is
-O(N * 8C) gathers + fused VPU distance math. Everything is static-shape and
-jit/vmap-safe.
+    table[T, C, 8] = [x, y, z, bitcast(index), nx, ny, nz, 0]
+
+A KNN query hashes the 2x2x2 block of cells nearest each query point
+(cell size = 2 * search radius covers the radius exactly) and fetches the
+8 candidate buckets as **contiguous 256-byte row gathers** — the layout is
+chosen so the hot loop never does a scattered per-point load; distances are
+then pure VPU math against in-register candidates. Hash collisions only add
+false candidates (rejected by true distance); bucket overflow (> C points)
+drops the excess, which tests bound statistically.
+
+Build: O(M log M) bitonic sort + O(M) scatter. Query: 8 row gathers + fused
+arithmetic per query. Everything static-shape and jit/vmap-safe.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +37,13 @@ from open3d_slam_private_tpu.ops.knn import INVALID_ID, INF, KnnResult, _merge_t
 _P1 = jnp.uint32(2654435761)
 _P2 = jnp.uint32(805459861)
 _P3 = jnp.uint32(3674653429)
+
+_PAD = 1.0e9  # coordinate pushed far away for empty slots
+
+# Payload channel layout.
+_CH = 8
+_IDX_CH = 3
+_NRM = slice(4, 7)
 
 
 def _cell_hash(cell: jax.Array, table_size: int) -> jax.Array:
@@ -49,26 +57,41 @@ def _cell_hash(cell: jax.Array, table_size: int) -> jax.Array:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GridHash:
-    """Built spatial hash over a reference cloud.
+    """Built spatial hash: payload table ``[T, C, 8]`` + cell size."""
 
-    ``slots [T * C]``: point index per bucket slot, -1 = empty.
-    ``cell_size``: scalar float (as a 0-d array so it can be donated/traced).
-    """
-
-    slots: jax.Array
+    table: jax.Array
     cell_size: jax.Array
-
-    @property
-    def table_size(self) -> int:
-        return self.slots.shape[0] // self.bucket_cap
+    has_normals: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def bucket_cap(self) -> int:
-        # Static metadata is carried in aux data via the field below.
-        return self._bucket_cap
+        return self.table.shape[1]
 
-    # dataclass field holding static python int (aux data, not a leaf).
-    _bucket_cap: int = dataclasses.field(default=8, metadata=dict(static=True))
+    @property
+    def table_size(self) -> int:
+        return self.table.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MatchResult:
+    """KNN result with inlined payloads (no follow-up gathers needed).
+
+    ``dists [N, k]`` squared (inf invalid), ``ids [N, k]`` (-1 invalid),
+    ``xyz [N, k, 3]`` matched positions, ``normals [N, k, 3]`` matched
+    normals (zeros when the grid was built without them).
+    """
+
+    dists: jax.Array
+    ids: jax.Array
+    xyz: jax.Array
+    normals: jax.Array
+
+    def valid(self) -> jax.Array:
+        return self.ids >= 0
+
+    def knn_result(self) -> KnnResult:
+        return KnnResult(dists=self.dists, ids=self.ids)
 
 
 @functools.partial(jax.jit, static_argnames=("table_size", "bucket_cap"))
@@ -78,8 +101,13 @@ def build_grid(
     cell_size,
     table_size: int = 1 << 16,
     bucket_cap: int = 16,
+    normals: Optional[jax.Array] = None,
 ) -> GridHash:
-    """Hash ``xyz [M, 3]`` (mask-valid points only) into a GridHash."""
+    """Hash ``xyz [M, 3]`` (mask-valid points only) into a GridHash.
+
+    Pass ``normals [M, 3]`` to inline them in the payload so matching
+    returns them for free (the scan-to-map hot path).
+    """
     m = xyz.shape[0]
     cell_size = jnp.asarray(cell_size, xyz.dtype)
     cell = jnp.floor(xyz / cell_size).astype(jnp.int32)
@@ -94,10 +122,122 @@ def build_grid(
     rank = jnp.arange(m, dtype=jnp.int32) - first_pos.astype(jnp.int32)
 
     in_table = (sorted_keys < table_size) & (rank < bucket_cap)
-    slot_idx = jnp.where(in_table, sorted_keys * bucket_cap + rank, table_size * bucket_cap)
-    slots = jnp.full((table_size * bucket_cap + 1,), INVALID_ID, jnp.int32)
-    slots = slots.at[slot_idx].set(order.astype(jnp.int32), mode="drop")
-    return GridHash(slots=slots[:-1], cell_size=cell_size, _bucket_cap=bucket_cap)
+    slot_idx = jnp.where(
+        in_table, sorted_keys * bucket_cap + rank, table_size * bucket_cap
+    )
+
+    payload = jnp.zeros((m, _CH), xyz.dtype)
+    payload = payload.at[:, :3].set(xyz[order])
+    payload = payload.at[:, _IDX_CH].set(
+        jax.lax.bitcast_convert_type(order.astype(jnp.int32), jnp.float32)
+    )
+    if normals is not None:
+        payload = payload.at[:, _NRM].set(normals[order])
+
+    empty = jnp.zeros((_CH,), xyz.dtype)
+    empty = empty.at[:3].set(_PAD)
+    empty = empty.at[_IDX_CH].set(
+        jax.lax.bitcast_convert_type(jnp.int32(INVALID_ID), jnp.float32)
+    )
+    table = jnp.broadcast_to(empty, (table_size * bucket_cap + 1, _CH))
+    table = table.at[slot_idx].set(payload, mode="drop")
+    return GridHash(
+        table=table[:-1].reshape(table_size, bucket_cap * _CH).reshape(table_size, bucket_cap, _CH),
+        cell_size=cell_size,
+        has_normals=normals is not None,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def grid_match(
+    grid: GridHash,
+    query_xyz: jax.Array,
+    query_mask: jax.Array,
+    k: int = 1,
+    max_dist=None,
+) -> MatchResult:
+    """KNN within radius ``max_dist`` (<= cell_size / 2; None = cell/2),
+    payloads inlined. The production matcher hot path."""
+    n = query_xyz.shape[0]
+    dtype = query_xyz.dtype
+    cap = grid.bucket_cap
+    table_size = grid.table_size
+    s = grid.cell_size
+    radius = s * 0.5 if max_dist is None else jnp.asarray(max_dist, dtype)
+    max_d2 = radius * radius
+
+    u = query_xyz / s
+    base_cell = jnp.floor(u).astype(jnp.int32)
+    frac = u - jnp.floor(u)
+    step = jnp.where(frac < 0.5, -1, 1).astype(jnp.int32)  # [N, 3]
+
+    # The 8 neighbor-cell hashes; a bucket shared by two blocks (hash
+    # collision) is visited once or its candidates would duplicate in top-k.
+    hashes = []
+    for bits in range(8):
+        offs = jnp.array([(bits >> 2) & 1, (bits >> 1) & 1, bits & 1], jnp.int32)
+        cell = base_cell + step * offs[None, :]
+        hashes.append(_cell_hash(cell, table_size))
+
+    flat = grid.table.reshape(table_size, cap * _CH)
+
+    best_d = jnp.full((n, k), INF, dtype)
+    best_i = jnp.full((n, k), INVALID_ID, jnp.int32)
+    best_x = jnp.zeros((n, k, 3), dtype)
+    best_nrm = jnp.zeros((n, k, 3), dtype)
+
+    # Process block-by-block: keeps live intermediates at [N, C] so XLA can
+    # pipeline gather + VPU math without re-streaming a [N, 8C] buffer.
+    for bits in range(8):
+        h = hashes[bits]
+        seen = jnp.zeros((n,), bool)
+        for prev in range(bits):
+            seen = seen | (h == hashes[prev])
+        # ONE contiguous row gather per block: [N, C * 8] -> candidates.
+        rows = flat[h].reshape(n, cap, _CH)
+        cand_xyz = rows[..., :3]
+        cand_ids = jax.lax.bitcast_convert_type(rows[..., _IDX_CH], jnp.int32)
+        # Pure VPU distance: broadcast subtract, no batched matmul.
+        diff = cand_xyz - query_xyz[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        d2 = jnp.where((cand_ids >= 0) & ~seen[:, None], d2, INF)
+        if k == 1:
+            blk_best = jnp.min(d2, axis=-1, keepdims=True)  # [N, 1]
+            # One-hot pick of the (first) argmin row — no gathers.
+            is_min = d2 <= blk_best
+            first = jnp.cumsum(is_min.astype(jnp.int32), axis=-1) == 1
+            pick = (is_min & first).astype(dtype)
+            sel_row = jnp.sum(rows * pick[:, :, None], axis=1)
+            sel_id = jnp.sum(
+                jnp.where(is_min & first, cand_ids, 0), axis=-1, keepdims=True
+            )
+            take = blk_best < best_d  # [N, 1]
+            best_d = jnp.where(take, blk_best, best_d)
+            best_i = jnp.where(take, sel_id, best_i)
+            best_x = jnp.where(take[..., None], sel_row[:, None, :3], best_x)
+            best_nrm = jnp.where(take[..., None], sel_row[:, None, _NRM], best_nrm)
+        else:
+            kk = min(k, cap)
+            neg_d, sel = jax.lax.top_k(-d2, kk)
+            sel_ids = jnp.take_along_axis(cand_ids, sel, axis=-1)
+            sel_rows = jnp.take_along_axis(rows, sel[..., None], axis=1)
+            d_cat = jnp.concatenate([best_d, -neg_d], axis=-1)
+            i_cat = jnp.concatenate([best_i, sel_ids], axis=-1)
+            x_cat = jnp.concatenate([best_x, sel_rows[..., :3]], axis=1)
+            n_cat = jnp.concatenate([best_nrm, sel_rows[..., _NRM]], axis=1)
+            neg_top, order = jax.lax.top_k(-d_cat, k)
+            best_d = -neg_top
+            best_i = jnp.take_along_axis(i_cat, order, axis=-1)
+            best_x = jnp.take_along_axis(x_cat, order[..., None], axis=1)
+            best_nrm = jnp.take_along_axis(n_cat, order[..., None], axis=1)
+
+    invalid = (best_d > max_d2) | ~jnp.isfinite(best_d) | ~query_mask[:, None]
+    return MatchResult(
+        dists=jnp.where(invalid, INF, best_d),
+        ids=jnp.where(invalid, INVALID_ID, best_i),
+        xyz=jnp.where(invalid[..., None], 0.0, best_x),
+        normals=jnp.where(invalid[..., None], 0.0, best_nrm),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -109,73 +249,7 @@ def grid_knn(
     k: int = 1,
     max_dist=None,
 ) -> KnnResult:
-    """KNN within radius ``max_dist`` using the 2x2x2-cell block.
-
-    Correct (up to bucket overflow) when ``max_dist <= cell_size / 2``; pass
-    ``max_dist=None`` to use exactly ``cell_size / 2``. Matches the reference
-    matcher contract: squared dists, ascending, -1/inf for no match.
-    """
-    n = query_xyz.shape[0]
-    cap = grid.bucket_cap
-    table_size = grid.slots.shape[0] // cap
-    s = grid.cell_size
-    if max_dist is None:
-        radius = s * 0.5
-    else:
-        radius = jnp.asarray(max_dist, query_xyz.dtype)
-    max_d2 = radius * radius
-
-    u = query_xyz / s
-    base_cell = jnp.floor(u).astype(jnp.int32)
-    frac = u - jnp.floor(u)
-    # Direction of the adjacent cell per axis: -1 if in lower half else +1.
-    step = jnp.where(frac < 0.5, -1, 1).astype(jnp.int32)  # [N, 3]
-
-    best_d = jnp.full((n, k), INF, query_xyz.dtype)
-    best_i = jnp.full((n, k), 0, jnp.int32)
-
-    q_sq = jnp.sum(query_xyz * query_xyz, axis=-1, keepdims=True)
-
-    # Bucket hash per neighbor block; if two blocks collide into the same
-    # bucket, visit it once (else its candidates would duplicate in top-k).
-    hashes = []
-    for bits in range(8):
-        offs = jnp.array([(bits >> 2) & 1, (bits >> 1) & 1, bits & 1], jnp.int32)
-        cell = base_cell + step * offs[None, :]
-        hashes.append(_cell_hash(cell, table_size))
-
-    for bits in range(8):
-        h = hashes[bits]
-        seen = jnp.zeros((n,), bool)
-        for prev in range(bits):
-            seen = seen | (h == hashes[prev])
-        # Candidate point ids for this cell: [N, C].
-        cand = grid.slots[h[:, None] * cap + jnp.arange(cap, dtype=jnp.int32)[None, :]]
-        valid = (cand >= 0) & ~seen[:, None]
-        cand_xyz = ref_xyz[jnp.maximum(cand, 0)]  # [N, C, 3]
-        d2 = (
-            q_sq
-            - 2.0 * jnp.einsum("nd,ncd->nc", query_xyz, cand_xyz)
-            + jnp.sum(cand_xyz * cand_xyz, axis=-1)
-        )
-        d2 = jnp.maximum(d2, 0.0)
-        d2 = jnp.where(valid, d2, INF)
-        if k == 1:
-            blk_best = jnp.min(d2, axis=-1, keepdims=True)
-            blk_arg = jnp.take_along_axis(
-                cand, jnp.argmin(d2, axis=-1, keepdims=True), axis=-1
-            )
-            take = blk_best < best_d
-            best_d = jnp.where(take, blk_best, best_d)
-            best_i = jnp.where(take, blk_arg, best_i)
-        else:
-            kk = min(k, cap)
-            neg_d, sel = jax.lax.top_k(-d2, kk)
-            blk_ids = jnp.take_along_axis(cand, sel, axis=-1)
-            best_d, best_i = _merge_topk(best_d, best_i, -neg_d, blk_ids, k)
-
-    invalid = (best_d > max_d2) | ~jnp.isfinite(best_d) | ~query_mask[:, None]
-    return KnnResult(
-        dists=jnp.where(invalid, INF, best_d),
-        ids=jnp.where(invalid, INVALID_ID, best_i),
-    )
+    """Compatibility wrapper returning only (dists, ids). ``ref_xyz`` is
+    unused (payloads are inlined in the table) and kept for API parity."""
+    res = grid_match(grid, query_xyz, query_mask, k=k, max_dist=max_dist)
+    return res.knn_result()

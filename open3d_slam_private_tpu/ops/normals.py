@@ -102,13 +102,12 @@ def estimate_normals(
     """
     xyz = batch.padded_xyz()
     res = knn_mod.knn_bruteforce(xyz, batch.mask, xyz, batch.mask, k=knn, max_dist=max_dist)
-    return _normals_from_knn(batch, res, orient_towards, return_eigen)
+    nb = knn_mod.gather_matched(batch.xyz, jnp.maximum(res.ids, 0))  # [N, k, 3]
+    return _normals_from_neighbors(batch, nb, res.valid(), orient_towards, return_eigen)
 
 
-def _normals_from_knn(batch, res, orient_towards, return_eigen):
+def _normals_from_neighbors(batch, nb, valid, orient_towards, return_eigen):
     xyz = batch.xyz
-    valid = res.valid()  # [N, k]
-    nb = knn_mod.gather_matched(xyz, jnp.maximum(res.ids, 0))  # [N, k, 3]
     w = valid.astype(xyz.dtype)[..., None]
     cnt = jnp.maximum(jnp.sum(w, axis=-2), 1.0)
     mean = jnp.sum(nb * w, axis=-2) / cnt
@@ -147,9 +146,10 @@ def estimate_normals_grid(
     return_eigen: bool = False,
 ) -> PointBatch:
     """Same as :func:`estimate_normals` but using a prebuilt GridHash over
-    the batch itself (O(N) instead of O(N^2))."""
+    the batch itself (O(N) instead of O(N^2)); neighbor coordinates come
+    straight out of the grid payload — no gathers."""
     from open3d_slam_private_tpu.ops import grid_hash
 
     xyz = batch.padded_xyz()
-    res = grid_hash.grid_knn(grid, xyz, xyz, batch.mask, k=knn, max_dist=max_dist)
-    return _normals_from_knn(batch, res, orient_towards, return_eigen)
+    res = grid_hash.grid_match(grid, xyz, batch.mask, k=knn, max_dist=max_dist)
+    return _normals_from_neighbors(batch, res.xyz, res.valid(), orient_towards, return_eigen)

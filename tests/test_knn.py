@@ -121,8 +121,24 @@ def test_grid_build_masked_points_excluded(rng):
     mask = np.zeros(100, bool)
     mask[:10] = True
     grid = grid_hash.build_grid(jnp.asarray(r), jnp.asarray(mask), 1.0, 1 << 8, 16)
-    ids = np.asarray(grid.slots)
+    ids = np.asarray(grid.table[..., 3]).view(np.int32).ravel()
     assert set(ids[ids >= 0]) <= set(range(10))
+
+
+def test_grid_match_payload_consistency(rng):
+    r = rng.uniform(-2, 2, size=(500, 3)).astype(np.float32)
+    nrm = rng.normal(size=(500, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    q = rng.uniform(-2, 2, size=(200, 3)).astype(np.float32)
+    grid = grid_hash.build_grid(
+        jnp.asarray(r), jnp.ones(500, bool), 1.0, 1 << 10, 32, normals=jnp.asarray(nrm)
+    )
+    res = grid_hash.grid_match(grid, jnp.asarray(q), jnp.ones(200, bool), k=1, max_dist=0.5)
+    valid = np.asarray(res.valid())[:, 0]
+    ids = np.asarray(res.ids)[valid, 0]
+    # Inlined payloads must equal the source arrays at the matched ids.
+    np.testing.assert_allclose(np.asarray(res.xyz)[valid, 0], r[ids], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.normals)[valid, 0], nrm[ids], atol=1e-6)
 
 
 def test_grid_overflow_graceful(rng):
