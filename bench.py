@@ -74,9 +74,11 @@ def main():
         grid_bucket_cap=8,
         trimmed_ratio=0.9,
         minimizer="point_to_plane",
-        max_iterations=30,
+        max_iterations=10,
         min_diff_rot=1e-3,
         min_diff_trans=8e-3,
+        coarse_iterations=20,
+        coarse_stride=8,
     )
 
     # Build the submap: dense scene voxelized to 0.15 m with normals.
@@ -108,20 +110,26 @@ def main():
     init_Ts = jnp.asarray(np.stack(priors))
 
     run = jax.jit(
-        jax.vmap(lambda r, T: icp_mod.icp_single(r, ref, T, cfg).transform, in_axes=(0, 0))
+        jax.vmap(
+            lambda r, T: (lambda res: (res.transform, res.iterations))(
+                icp_mod.icp_single(r, ref, T, cfg)
+            ),
+            in_axes=(0, 0),
+        )
     )
 
     # Warmup / compile.
-    out = run(readings, init_Ts)
+    out, iters = run(readings, init_Ts)
     out.block_until_ready()
 
     # Throughput.
     t0 = time.perf_counter()
     for _ in range(ROUNDS):
-        out = run(readings, init_Ts)
+        out, iters = run(readings, init_Ts)
     out.block_until_ready()
     dt = time.perf_counter() - t0
     regs_per_s = ROUNDS * B / dt
+    mean_iters = float(np.mean(np.asarray(iters)))
 
     # Accuracy sanity: every registration within tolerance of truth.
     errs = []
@@ -156,6 +164,7 @@ def main():
                     "reading_points": N_READ,
                     "map_points": int(jnp.sum(submap.mask)),
                     "max_trans_err_m": round(max_trans_err, 5),
+                    "mean_iterations": round(mean_iters, 1),
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -1,0 +1,187 @@
+"""Command-line entry points.
+
+TPU-native counterparts of the reference's executables:
+
+- ``register``  ≙ ``examples/icp_simple.cpp`` / ``examples/icp.cpp``
+  (one registration, optional icp.yaml config)
+- ``run-slam``  ≙ ``mapping_node.cpp`` offline replay (directory of scans
+  processed deterministically in order)
+- ``list-modules`` ≙ ``examples/list_modules.cpp``
+- ``bench``     runs the repository benchmark
+
+Usage: ``python -m open3d_slam_private_tpu.cli <command> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _cmd_register(args) -> int:
+    import jax.numpy as jnp
+
+    from open3d_slam_private_tpu.config import icp_config_from_yaml
+    from open3d_slam_private_tpu.io import load_cloud
+    from open3d_slam_private_tpu.models import icp as icp_mod
+    from open3d_slam_private_tpu.ops import normals as normals_mod
+    from open3d_slam_private_tpu.ops import pointcloud as pc
+
+    ref_pts, ref_extras = load_cloud(args.reference)
+    read_pts, _ = load_cloud(args.reading)
+
+    if args.config:
+        cfg = icp_config_from_yaml(args.config)
+    else:
+        cfg = icp_mod.ICPConfig(
+            knn=1, max_match_dist=args.max_dist, matcher="grid",
+            trimmed_ratio=0.85, max_iterations=args.max_iterations,
+        )
+
+    cap_r = 1 << int(np.ceil(np.log2(max(len(ref_pts), 2))))
+    cap_d = 1 << int(np.ceil(np.log2(max(len(read_pts), 2))))
+    reference = pc.from_points(ref_pts, capacity=cap_r, extras=ref_extras)
+    if reference.normals is None and cfg.minimizer == "point_to_plane":
+        reference = normals_mod.estimate_normals(
+            reference, knn=10, max_dist=2.0 * min(cfg.max_match_dist, 1e6)
+        )
+    reading = pc.from_points(read_pts, capacity=cap_d)
+
+    t0 = time.perf_counter()
+    res = icp_mod.register_pair(reading, reference, jnp.eye(4), cfg)
+    T = np.asarray(res.transform)
+    dt = time.perf_counter() - t0
+
+    print(f"converged: {bool(res.converged)}  iterations: {int(res.iterations)}")
+    print(f"overlap: {float(res.overlap_ratio):.3f}  residual: {float(res.residual):.5f}")
+    print(f"wall time (incl. compile): {dt:.2f}s")
+    print("transform (reading -> reference):")
+    np.savetxt(sys.stdout, T, fmt="%12.8f")
+    if args.output:
+        np.savetxt(args.output, T)
+    return 0
+
+
+def _cmd_run_slam(args) -> int:
+    from open3d_slam_private_tpu.config import slam_config_from_yaml
+    from open3d_slam_private_tpu.io import load_cloud
+    from open3d_slam_private_tpu.ops import pointcloud as pc
+    from open3d_slam_private_tpu.slam.pipeline import SlamConfig, SlamPipeline
+
+    cfg = slam_config_from_yaml(args.config) if args.config else SlamConfig()
+    pipe = SlamPipeline(cfg)
+
+    scans = sorted(glob.glob(os.path.join(args.scans, "*")))
+    scans = [s for s in scans if s.lower().endswith((".ply", ".pcd", ".csv", ".vtk"))]
+    if not scans:
+        print(f"no scans found under {args.scans}", file=sys.stderr)
+        return 1
+    if args.max_scans:
+        scans = scans[: args.max_scans]
+
+    cap = args.capacity
+    t_start = time.perf_counter()
+    for i, path in enumerate(scans):
+        pts, _ = load_cloud(path)
+        batch = pc.from_points(pts, capacity=cap)
+        stats = pipe.process_scan(batch, time=i * 0.1)
+        pose = pipe.pose
+        print(
+            f"[{i + 1}/{len(scans)}] t=({pose[0, 3]:.2f} {pose[1, 3]:.2f} {pose[2, 3]:.2f}) "
+            f"overlap={stats.get('overlap', 0):.2f} inserted={stats.get('inserted')} "
+            f"submaps={len(pipe.submaps)}"
+        )
+    wall = time.perf_counter() - t_start
+    print(f"processed {len(scans)} scans in {wall:.1f}s ({len(scans) / wall:.2f} Hz)")
+
+    if args.save_map:
+        pipe.save_map(args.save_map)
+        print(f"map saved to {args.save_map} ({pipe.assembled_map().shape[0]} points)")
+    if args.save_trajectory:
+        times = [i * 0.1 for i in range(len(scans))]
+        rows = []
+        for t in times:
+            if pipe.map_pose_buffer.has(t):
+                T = pipe.map_pose_buffer.lookup(t)
+                rows.append(np.r_[t, T[:3, 3], T[:3, :3].flatten()])
+        np.savetxt(args.save_trajectory, np.asarray(rows))
+        print(f"trajectory saved to {args.save_trajectory}")
+    return 0
+
+
+def _cmd_list_modules(args) -> int:
+    from open3d_slam_private_tpu.config.registry import FILTER_REGISTRY
+
+    print("DataPointsFilters:")
+    for name in sorted(FILTER_REGISTRY):
+        print(f"  {name}")
+    print("Matchers:\n  KDTreeMatcher (grid|brute backends)\n  NullMatcher")
+    print(
+        "OutlierFilters:\n  TrimmedDistOutlierFilter\n  VarTrimmedDistOutlierFilter\n"
+        "  MedianDistOutlierFilter\n  SurfaceNormalOutlierFilter\n  RobustOutlierFilter"
+        " (cauchy|huber|gm|tukey|welsch|sc|l1|student)"
+    )
+    print(
+        "ErrorMinimizers:\n  PointToPlaneErrorMinimizer (6-DoF / force4DOF)\n"
+        "  PointToPointErrorMinimizer\n  PointToPointSimilarityErrorMinimizer"
+    )
+    print(
+        "DegeneracyAwareness:\n  None\n  SolutionRemapping\n"
+        "  OptimizedEqualityConstraints / EqualityConstraints"
+    )
+    print(
+        "TransformationCheckers:\n  CounterTransformationChecker\n"
+        "  DifferentialTransformationChecker"
+    )
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo_root)
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="open3d_slam_private_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pr = sub.add_parser("register", help="register one scan pair (icp_simple)")
+    pr.add_argument("reading")
+    pr.add_argument("reference")
+    pr.add_argument("--config", help="libpointmatcher-style icp.yaml")
+    pr.add_argument("--max-dist", type=float, default=1.0)
+    pr.add_argument("--max-iterations", type=int, default=40)
+    pr.add_argument("--output", help="write the 4x4 transform here")
+    pr.set_defaults(fn=_cmd_register)
+
+    ps = sub.add_parser("run-slam", help="offline deterministic SLAM replay")
+    ps.add_argument("scans", help="directory of scan files (ply/pcd/csv/vtk)")
+    ps.add_argument("--config", help="SLAM parameter YAML (reference key names)")
+    ps.add_argument("--capacity", type=int, default=65536)
+    ps.add_argument("--max-scans", type=int, default=0)
+    ps.add_argument("--save-map")
+    ps.add_argument("--save-trajectory")
+    ps.set_defaults(fn=_cmd_run_slam)
+
+    pl = sub.add_parser("list-modules", help="list supported chain modules")
+    pl.set_defaults(fn=_cmd_list_modules)
+
+    pb = sub.add_parser("bench", help="run the benchmark")
+    pb.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,335 @@
+"""Name -> op registry speaking the reference's YAML vocabulary.
+
+The reference instantiates its ICP chain from YAML via the ``Registrar``
+factory (``Registrar.h:185-227``, module names registered in
+``Registry.cpp:60-130``); production config at
+``ros/open3d_slam_ros/param/icp.yaml``. This module accepts those exact
+files: the same module names and parameter keys are translated into the
+TPU engine's typed configs, so a user of the reference can bring their
+icp.yaml unchanged.
+
+Two registries:
+- :data:`FILTER_REGISTRY`: DataPointsFilter names -> callables
+  ``(PointBatch, key, params) -> PointBatch``;
+- the ICP chain translator :func:`icp_config_from_dict` covering matcher /
+  outlierFilters / errorMinimizer / transformationCheckers / degeneracy
+  options.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+
+from open3d_slam_private_tpu.models import icp as icp_mod
+from open3d_slam_private_tpu.models.localizability import DegeneracyConfig
+from open3d_slam_private_tpu.ops import filters, voxel
+from open3d_slam_private_tpu.ops import normals as normals_mod
+from open3d_slam_private_tpu.ops.pointcloud import PointBatch
+
+
+def load_yaml(path_or_stream) -> dict:
+    import yaml
+
+    if hasattr(path_or_stream, "read"):
+        return yaml.safe_load(path_or_stream)
+    with open(path_or_stream) as f:
+        return yaml.safe_load(f)
+
+
+def _f(params: dict, key: str, default):
+    v = params.get(key, default)
+    return type(default)(v) if default is not None else v
+
+
+# ---------------------------------------------------------------------------
+# DataPointsFilters (Registry.cpp:67-96 names).
+# ---------------------------------------------------------------------------
+
+
+def _identity(b, key, p):
+    return b
+
+
+def _remove_nan(b, key, p):
+    return filters.remove_nan(b)
+
+
+def _max_dist(b, key, p):
+    dim = int(p.get("dim", -1))
+    d = float(p.get("maxDist", 1.0))
+    if dim < 0:
+        return filters.max_dist(b, d)
+    return filters.axis_dist(b, dim, d, keep_inside=True)
+
+
+def _min_dist(b, key, p):
+    dim = int(p.get("dim", -1))
+    d = float(p.get("minDist", 1.0))
+    if dim < 0:
+        return filters.min_dist(b, d)
+    return filters.axis_dist(b, dim, d, keep_inside=False)
+
+
+def _bounding_box(b, key, p):
+    lo = [float(p.get("xMin", -1)), float(p.get("yMin", -1)), float(p.get("zMin", -1))]
+    hi = [float(p.get("xMax", 1)), float(p.get("yMax", 1)), float(p.get("zMax", 1))]
+    return filters.bounding_box(b, lo, hi, remove_inside=bool(int(p.get("removeInside", 1))))
+
+
+def _distance_limit(b, key, p):
+    return filters.distance_limit(
+        b,
+        axis=int(p.get("dim", -1)),
+        dist=float(p.get("dist", 1.0)),
+        keep_inside=bool(int(p.get("removeInside", 0))) is False,
+    )
+
+
+def _max_quantile(b, key, p):
+    return filters.max_quantile_on_axis(b, int(p.get("dim", 0)), float(p.get("ratio", 0.5)))
+
+
+def _random_sampling(b, key, p):
+    return filters.random_sampling(b, key, float(p.get("prob", 0.75)))
+
+
+def _max_point_count(b, key, p):
+    return filters.max_point_count(b, key, int(p.get("maxCount", 1000)))
+
+
+def _fix_step(b, key, p):
+    return filters.fix_step_sampling(b, int(float(p.get("startStep", 10))))
+
+
+def _voxel_grid(b, key, p):
+    size = float(p.get("vSizeX", 0.2))
+    if bool(int(p.get("useCentroid", 1))):
+        return voxel.voxel_downsample(b, size)
+    return voxel.voxel_first_point(b, size)
+
+
+def _octree_grid(b, key, p):
+    # Octree sampling at a fixed leaf size is voxel sampling (the reference's
+    # OctreeGridDataPointsFilter with samplingMethod=centroid).
+    return voxel.voxel_downsample(b, float(p.get("maxSizeByNode", 0.2)))
+
+
+def _surface_normal(b, key, p):
+    return normals_mod.estimate_normals(
+        b,
+        knn=int(p.get("knn", 5)),
+        return_eigen=bool(int(p.get("keepEigenValues", 0))),
+    )
+
+
+def _sampling_surface_normal(b, key, p):
+    out = normals_mod.estimate_normals(b, knn=int(p.get("knn", 5)))
+    ratio = float(p.get("ratio", 0.5))
+    if ratio < 1.0:
+        out = filters.random_sampling(out, key, ratio)
+    return out
+
+
+def _orient_normals(b, key, p):
+    return filters.orient_normals(b, towards=(0.0, 0.0, 0.0))
+
+
+def _observation_direction(b, key, p):
+    return filters.observation_direction(
+        b, sensor=(float(p.get("x", 0)), float(p.get("y", 0)), float(p.get("z", 0)))
+    )
+
+
+def _shadow(b, key, p):
+    return filters.shadow_filter(b, eps=float(p.get("eps", 0.1)))
+
+
+def _simple_sensor_noise(b, key, p):
+    return filters.simple_sensor_noise(b, gain=float(p.get("gain", 1.0)))
+
+
+def _incidence_angle(b, key, p):
+    return filters.incidence_angle(b)
+
+
+def _cut_at_descriptor(b, key, p):
+    return filters.cut_at_descriptor_threshold(
+        b,
+        name=str(p.get("descName", "")),
+        threshold=float(p.get("threshold", 0.0)),
+        use_larger_than=bool(int(p.get("useLargerThan", 1))),
+    )
+
+
+FILTER_REGISTRY: Dict[str, Callable] = {
+    "IdentityDataPointsFilter": _identity,
+    "RemoveNaNDataPointsFilter": _remove_nan,
+    "MaxDistDataPointsFilter": _max_dist,
+    "MinDistDataPointsFilter": _min_dist,
+    "BoundingBoxDataPointsFilter": _bounding_box,
+    "DistanceLimitDataPointsFilter": _distance_limit,
+    "MaxQuantileOnAxisDataPointsFilter": _max_quantile,
+    "RandomSamplingDataPointsFilter": _random_sampling,
+    "MaxPointCountDataPointsFilter": _max_point_count,
+    "FixStepSamplingDataPointsFilter": _fix_step,
+    "VoxelGridDataPointsFilter": _voxel_grid,
+    "OctreeGridDataPointsFilter": _octree_grid,
+    "SurfaceNormalDataPointsFilter": _surface_normal,
+    "SamplingSurfaceNormalDataPointsFilter": _sampling_surface_normal,
+    "OrientNormalsDataPointsFilter": _orient_normals,
+    "ObservationDirectionDataPointsFilter": _observation_direction,
+    "ShadowDataPointsFilter": _shadow,
+    "SimpleSensorNoiseDataPointsFilter": _simple_sensor_noise,
+    "IncidenceAngleDataPointsFilter": _incidence_angle,
+    "CutAtDescriptorThresholdDataPointsFilter": _cut_at_descriptor,
+}
+
+
+def make_filter_chain(spec: Optional[List]) -> Callable:
+    """Build ``(PointBatch, key) -> PointBatch`` from a YAML filter list
+    (list of name-> params dicts, reference style)."""
+    steps = []
+    for item in spec or []:
+        if isinstance(item, str):
+            name, params = item, {}
+        else:
+            (name, params), = item.items()
+            params = params or {}
+        if name not in FILTER_REGISTRY:
+            raise KeyError(
+                f"unknown DataPointsFilter '{name}' (known: {sorted(FILTER_REGISTRY)})"
+            )
+        steps.append((FILTER_REGISTRY[name], params))
+
+    def chain(batch: PointBatch, rng_key) -> PointBatch:
+        for fn, params in steps:
+            rng_key, sub = jax.random.split(rng_key)
+            batch = fn(batch, sub, params)
+        return batch
+
+    return chain
+
+
+# ---------------------------------------------------------------------------
+# ICP chain translation (icp.yaml vocabulary -> ICPConfig).
+# ---------------------------------------------------------------------------
+
+
+def _single(d):
+    if isinstance(d, str):
+        return d, {}
+    (name, params), = d.items()
+    return name, (params or {})
+
+
+def icp_config_from_dict(doc: dict, matcher_backend: str = "grid") -> icp_mod.ICPConfig:
+    """Translate a libpointmatcher icp.yaml document into an ICPConfig.
+
+    Unknown/unsupported modules raise. The reading/reference filter chains
+    are returned separately by :func:`make_filter_chain` — call it on
+    ``doc["readingDataPointsFilters"]`` etc.
+    """
+    kw: Dict[str, Any] = {}
+
+    # Matcher.
+    if "matcher" in doc:
+        name, p = _single(doc["matcher"])
+        if name not in ("KDTreeMatcher", "KDTreeVarDistMatcher", "NullMatcher"):
+            raise KeyError(f"unknown matcher {name}")
+        kw["knn"] = int(p.get("knn", 1))
+        max_dist = float(p.get("maxDist", math.inf))
+        kw["max_match_dist"] = max_dist
+        kw["matcher"] = matcher_backend if math.isfinite(max_dist) else "brute"
+
+    # Outlier filters (composed).
+    for item in doc.get("outlierFilters", []) or []:
+        name, p = _single(item)
+        if name == "TrimmedDistOutlierFilter":
+            kw["trimmed_ratio"] = float(p.get("ratio", 0.85))
+        elif name == "SurfaceNormalOutlierFilter":
+            kw["normal_angle_max"] = float(p.get("maxAngle", 1.42))
+        elif name == "RobustOutlierFilter":
+            kw["robust"] = str(p.get("robustFct", "cauchy"))
+            kw["robust_scale"] = float(p.get("tuning", 1.0))
+        elif name in ("NullOutlierFilter",):
+            pass
+        else:
+            raise KeyError(f"unsupported outlier filter {name}")
+
+    # Error minimizer.
+    if "errorMinimizer" in doc:
+        name, p = _single(doc["errorMinimizer"])
+        mapping = {
+            "PointToPlaneErrorMinimizer": "point_to_plane",
+            "PointToPlaneWithCovErrorMinimizer": "point_to_plane",
+            "PointToPointErrorMinimizer": "point_to_point",
+            "PointToPointWithCovErrorMinimizer": "point_to_point",
+            "IdentityErrorMinimizer": "point_to_plane",
+        }
+        if name not in mapping:
+            raise KeyError(f"unknown errorMinimizer {name}")
+        kw["minimizer"] = mapping[name]
+        kw["force_4dof"] = bool(int(p.get("force4DOF", 0)))
+
+    # Checkers.
+    for item in doc.get("transformationCheckers", []) or []:
+        name, p = _single(item)
+        if name == "CounterTransformationChecker":
+            kw["max_iterations"] = int(p.get("maxIterationCount", 40))
+        elif name == "DifferentialTransformationChecker":
+            kw["min_diff_rot"] = float(p.get("minDiffRotErr", 0.001))
+            kw["min_diff_trans"] = float(p.get("minDiffTransErr", 0.001))
+            kw["smooth_length"] = int(p.get("smoothLength", 3))
+        elif name == "BoundTransformationChecker":
+            pass  # bound aborts are reported via result status instead
+        else:
+            raise KeyError(f"unknown transformationChecker {name}")
+
+    # X-ICP degeneracy awareness. The production icp.yaml nests the method
+    # name with its params: ``degeneracyAwareness: {OptimizedEqualityConstraints:
+    # {enoughInformationThreshold: ...}}`` (``ICP.cpp:117-210`` YAML loading).
+    method_map = {
+        "None": "none",
+        "SolutionRemapping": "solution_remapping",
+        "OptimizedEqualityConstraints": "equality_constraints",
+        "EqualityConstraints": "equality_constraints",
+        "TernaryLevelDetection": "equality_constraints",
+        "InequalityConstraints": "equality_constraints",
+    }
+    deg_doc = doc.get("degeneracyAwareness", None)
+    if deg_doc:
+        if isinstance(deg_doc, str):
+            method_name, deg = deg_doc, {}
+        else:
+            (method_name, deg), = deg_doc.items()
+            deg = deg or {}
+        if method_name not in method_map:
+            raise KeyError(f"unknown degeneracyAwareness method {method_name}")
+
+        def angle(key, default):
+            for k in (key + "Threshold", key):
+                if k in deg:
+                    return math.cos(math.radians(float(deg[k])))
+            return math.cos(math.radians(default))
+
+        kw["degeneracy"] = DegeneracyConfig(
+            method=method_map[method_name],
+            solution_remapping_threshold=float(deg.get("threshold", 150.0)),
+            use_condition_number_threshold=bool(int(deg.get("use2019", 0))),
+            high_information_threshold=float(deg.get("highInformationThreshold", 350.0)),
+            enough_information_threshold=float(deg.get("enoughInformationThreshold", 150.0)),
+            insufficient_information_threshold=float(
+                deg.get("insufficientInformationThreshold", 40.0)
+            ),
+            weak_alignment_cos=angle("point2NormalMinimalAlignmentAngle", 80.0),
+            strong_alignment_cos=angle("point2NormalStrongAlignmentAngle", 45.0),
+        )
+
+    return icp_mod.ICPConfig(**kw)
+
+
+def icp_config_from_yaml(path_or_stream, matcher_backend: str = "grid") -> icp_mod.ICPConfig:
+    return icp_config_from_dict(load_yaml(path_or_stream), matcher_backend)

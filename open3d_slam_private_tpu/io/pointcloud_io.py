@@ -31,11 +31,29 @@ def load_cloud(path: str) -> Tuple[np.ndarray, Extras]:
 
 
 def load_csv(path: str) -> Tuple[np.ndarray, Extras]:
-    """CSV with a header line naming columns (x, y, z + descriptors)."""
+    """CSV with an optional header naming columns (x, y, z + descriptors).
+
+    Headerless numeric files (like the reference's ``car_cloud400.csv``) are
+    treated as plain x y z rows, matching ``CSVDataPointsLoader``'s
+    auto-detection (``IO.cpp``)."""
     with open(path, "r") as f:
         header = f.readline().strip()
     delim = "," if "," in header else None
     names = [h.strip() for h in (header.split(",") if delim else header.split())]
+
+    def _numeric(tok: str) -> bool:
+        try:
+            float(tok)
+            return True
+        except ValueError:
+            return False
+
+    if names and all(_numeric(n) for n in names):
+        data = np.loadtxt(path, delimiter=delim, dtype=np.float32, ndmin=2)
+        if data.shape[1] == 2:
+            data = np.c_[data, np.zeros((len(data), 1), np.float32)]
+        return data[:, :3].astype(np.float32), {}
+
     data = np.loadtxt(path, skiprows=1, delimiter=delim, dtype=np.float32, ndmin=2)
     cols = {n.lower(): i for i, n in enumerate(names)}
     if not {"x", "y"} <= cols.keys():

@@ -70,6 +70,14 @@ class ICPConfig:
     min_diff_trans: float = 1e-3  # m, smoothed
     smooth_length: int = 3
 
+    # Coarse-to-fine schedule (TPU throughput lever with no reference
+    # analogue — the reference pays full resolution every iteration): run up
+    # to ``coarse_iterations`` first on every ``coarse_stride``-th reading
+    # point (a static strided slice => 1/stride matching cost), then polish
+    # at full resolution under the normal checkers. 0 disables.
+    coarse_iterations: int = 0
+    coarse_stride: int = 8
+
     # Multi-device: when set, the reading's point axis is sharded over this
     # mesh axis (inside shard_map); partial 6x6 blocks are psum-reduced and
     # trimming quantiles computed on all-gathered distances. The TP/SP
@@ -212,21 +220,19 @@ def _solve(A, b, src_flat, mn_flat, ddn, pair_mask, cfg: ICPConfig):
     return x, loc
 
 
-def icp_single(
-    reading: PointBatch,
-    ref: ICPReference,
-    init_T: jax.Array,
-    cfg: ICPConfig,
-) -> ICPResult:
-    """Register one reading against a prebuilt reference. vmap for batches."""
-    dtype = reading.xyz.dtype
-    n = reading.capacity
-    S = cfg.smooth_length
+def _strided(batch: PointBatch, stride: int) -> PointBatch:
+    """Static strided subsample (smaller capacity => cheaper matching)."""
+    return PointBatch(
+        xyz=batch.xyz[::stride],
+        mask=batch.mask[::stride],
+        extras={k: v[::stride] for k, v in batch.extras.items()},
+    )
 
-    # Work in the reference-centered frame: T' = Trans(-c) . T_init.
-    shift = jnp.eye(4, dtype=dtype).at[:3, 3].set(-ref.centroid)
-    unshift = jnp.eye(4, dtype=dtype).at[:3, 3].set(ref.centroid)
-    T0 = shift @ init_T
+
+def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
+    """The matched/weighted/linearized GN loop on one fixed reading shape."""
+    dtype = reading.xyz.dtype
+    S = cfg.smooth_length
 
     def _allsum(v):
         return jax.lax.psum(v, cfg.shard_axis) if cfg.shard_axis is not None else v
@@ -286,7 +292,7 @@ def icp_single(
     )
 
     def cond(s):
-        return (s["it"] < cfg.max_iterations) & ~s["done"]
+        return (s["it"] < max_iterations) & ~s["done"]
 
     def body(s):
         dT, loc, match_ratio, overlap, resid = one_iteration(s["T"])
@@ -312,7 +318,32 @@ def icp_single(
             converged=converged,
         )
 
-    final = jax.lax.while_loop(cond, body, state0)
+    return jax.lax.while_loop(cond, body, state0)
+
+
+def icp_single(
+    reading: PointBatch,
+    ref: ICPReference,
+    init_T: jax.Array,
+    cfg: ICPConfig,
+) -> ICPResult:
+    """Register one reading against a prebuilt reference. vmap for batches."""
+    dtype = reading.xyz.dtype
+
+    # Work in the reference-centered frame: T' = Trans(-c) . T_init.
+    shift = jnp.eye(4, dtype=dtype).at[:3, 3].set(-ref.centroid)
+    unshift = jnp.eye(4, dtype=dtype).at[:3, 3].set(ref.centroid)
+    T0 = shift @ init_T
+
+    coarse_iters = jnp.asarray(0, jnp.int32)
+    if cfg.coarse_iterations > 0 and cfg.coarse_stride > 1:
+        coarse = _strided(reading, cfg.coarse_stride)
+        cstate = _run_gn_loop(coarse, ref, T0, cfg, cfg.coarse_iterations)
+        T0 = cstate["T"]
+        coarse_iters = cstate["it"]
+
+    final = _run_gn_loop(reading, ref, T0, cfg, cfg.max_iterations)
+    final["it"] = final["it"] + coarse_iters
 
     T_out = unshift @ final["T"]
     loc = final["loc"]

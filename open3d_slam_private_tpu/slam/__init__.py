@@ -2,8 +2,11 @@ from open3d_slam_private_tpu.slam import (
     mapper,
     motion_compensation,
     odometry,
+    pipeline,
+    place_recognition,
     pose_graph,
     submap,
+    submap_collection,
     transform_buffer,
 )
 
@@ -11,7 +14,10 @@ __all__ = [
     "mapper",
     "motion_compensation",
     "odometry",
+    "pipeline",
+    "place_recognition",
     "pose_graph",
     "submap",
+    "submap_collection",
     "transform_buffer",
 ]

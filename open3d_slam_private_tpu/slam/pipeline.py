@@ -1,0 +1,299 @@
+"""SLAM orchestration — the ``SlamWrapper`` analogue.
+
+The reference (``SlamWrapper.cpp``) runs 4-7 worker threads over bounded
+queues (odometry, mapping, loop closure, dense map, publishing). The TPU
+design keeps that *pipeline* shape but the heavy stages are single jitted
+device calls, so the host side stays simple:
+
+- **online mode**: ``add_range_scan``/``add_odometry_pose`` enqueue;
+  ``spin_once``/worker threads drain queues through odometry -> mapper ->
+  (periodic) loop closure -> pose graph;
+- **offline deterministic replay** (≙ the rosbag single-stepping harness,
+  ``SlamWrapper.cpp:465-552`` + ``RosbagRangeDataProcessorRos``): the driver
+  calls :meth:`process_scan` once per (scan, time) pair — bitwise
+  reproducible, the primary correctness harness;
+- loop-closure application: optimized submap increments are applied to
+  submap banks and the current pose re-anchored
+  (≙ ``updateSubmapsAndTrajectory``, ``SlamWrapper.cpp:1055-1090``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from open3d_slam_private_tpu.ops import pointcloud as pc
+from open3d_slam_private_tpu.slam import place_recognition as pr
+from open3d_slam_private_tpu.slam import pose_graph as pg
+from open3d_slam_private_tpu.slam import submap as submap_mod
+from open3d_slam_private_tpu.slam.mapper import MapperConfig, build_map_reference, process_scan_for_matching, scan_to_map_step
+from open3d_slam_private_tpu.slam.odometry import LidarOdometry, OdometryConfig
+from open3d_slam_private_tpu.slam.submap_collection import (
+    SubmapCollection,
+    SubmapCollectionConfig,
+)
+from open3d_slam_private_tpu.slam.transform_buffer import TransformInterpolationBuffer
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    odometry: OdometryConfig = dataclasses.field(default_factory=OdometryConfig)
+    mapper: MapperConfig = dataclasses.field(default_factory=MapperConfig)
+    submaps: SubmapCollectionConfig = dataclasses.field(
+        default_factory=SubmapCollectionConfig
+    )
+    place_recognition: pr.PlaceRecognitionConfig = dataclasses.field(
+        default_factory=pr.PlaceRecognitionConfig
+    )
+    pose_graph: pg.PoseGraphConfig = dataclasses.field(default_factory=pg.PoseGraphConfig)
+    use_external_odometry: bool = False  # ≙ useOdometryTopic
+    loop_closure_enabled: bool = True
+    node_capacity: int = 128
+    edge_capacity: int = 512
+
+
+class SlamPipeline:
+    """Single-owner SLAM state machine; deterministic when stepped serially."""
+
+    def __init__(self, cfg: Optional[SlamConfig] = None):
+        self.cfg = cfg or SlamConfig()
+        self.odometry = LidarOdometry(self.cfg.odometry)
+        self.submaps = SubmapCollection(self.cfg.submaps)
+        self.odom_buffer = TransformInterpolationBuffer()
+        self.map_pose_buffer = TransformInterpolationBuffer()
+
+        self._map_pose = np.eye(4)
+        self._prev_odom_pose: Optional[np.ndarray] = None
+        self._ref = None
+        self._ref_submap_idx = -1
+        self._scans_since_reinit = 0
+        self._last_insert_pose: Optional[np.ndarray] = None
+        self._initialized = False
+        # Pose-graph bookkeeping: one node per submap (anchor poses).
+        self._loop_constraints: List[pr.LoopClosureConstraint] = []
+        self._scan_count = 0
+        self.stats: List[dict] = []
+
+    # ------------------------------------------------------------------
+    # Offline deterministic stepping (the primary harness).
+    # ------------------------------------------------------------------
+
+    @property
+    def pose(self) -> np.ndarray:
+        return self._map_pose.copy()
+
+    def process_scan(
+        self,
+        scan: pc.PointBatch,
+        time: float,
+        external_odom_pose: Optional[np.ndarray] = None,
+    ) -> dict:
+        """One full deterministic step: odometry -> mapper -> submaps ->
+        (on submap finish) loop closure + pose graph."""
+        cfg = self.cfg
+
+        # --- odometry stage (≙ unifiedWorkerOdom) ---
+        if cfg.use_external_odometry and external_odom_pose is not None:
+            odom_pose = np.asarray(external_odom_pose, np.float64)
+        else:
+            odom_pose = self.odometry.add_scan(scan)
+        self.odom_buffer.push(time, odom_pose)
+        if self._prev_odom_pose is None:
+            odom_motion = np.eye(4)
+        else:
+            odom_motion = np.linalg.inv(self._prev_odom_pose) @ odom_pose
+        self._prev_odom_pose = odom_pose
+
+        # --- mapping stage (≙ unifiedWorkerMap / Mapper) ---
+        stats = self._mapping_step(scan, odom_motion)
+        self.map_pose_buffer.push(time, self._map_pose)
+
+        # --- loop closure on freshly finished submaps ---
+        if cfg.loop_closure_enabled:
+            finished = self.submaps.pop_finished()
+            if finished is not None:
+                stats["loop_closures"] = self._attempt_loop_closures(finished)
+
+        self._scan_count += 1
+        self.stats.append(stats)
+        return stats
+
+    # ------------------------------------------------------------------
+
+    def _mapping_step(self, scan: pc.PointBatch, odom_motion: np.ndarray) -> dict:
+        mcfg = self.cfg.mapper
+        processed = process_scan_for_matching(scan, mcfg)
+
+        if not self._initialized:
+            self.submaps.insert_scan(processed, self._map_pose, self._map_pose)
+            self._rebuild_reference()
+            self._last_insert_pose = self._map_pose.copy()
+            self._initialized = True
+            return dict(converged=True, inserted=True, degenerate=False, overlap=1.0)
+
+        guess = self._map_pose @ odom_motion
+        active_idx = self.submaps.active_idx
+        if (
+            self._scans_since_reinit >= mcfg.reference_reinit_every
+            or active_idx != self._ref_submap_idx
+        ):
+            self._rebuild_reference(center=guess[:3, 3])
+
+        res = scan_to_map_step(processed, self._ref, jnp.asarray(guess, jnp.float32), mcfg)
+        finite = bool(jnp.all(jnp.isfinite(res.transform)))
+        use_prior = (not finite) or (
+            bool(res.degenerate) and float(res.overlap_ratio) < 0.05
+        )
+        new_pose = guess if use_prior else np.asarray(res.transform, np.float64)
+        self._map_pose = new_pose
+        self._scans_since_reinit += 1
+
+        inserted = False
+        moved = (
+            self._last_insert_pose is None
+            or np.linalg.norm(new_pose[:3, 3] - self._last_insert_pose[:3, 3])
+            >= mcfg.min_movement_for_insertion
+        )
+        if moved and not use_prior:
+            self.submaps.insert_scan(processed, new_pose, new_pose)
+            self._last_insert_pose = new_pose.copy()
+            inserted = True
+
+        return dict(
+            converged=bool(res.converged),
+            inserted=inserted,
+            degenerate=bool(res.degenerate),
+            overlap=float(res.overlap_ratio),
+            iterations=int(res.iterations),
+        )
+
+    def _rebuild_reference(self, center=None) -> None:
+        if center is None:
+            center = self._map_pose[:3, 3]
+        active = self.submaps.active
+        self._ref = build_map_reference(
+            active.state.cloud, jnp.asarray(center, jnp.float32), self.cfg.mapper
+        )
+        self._ref_submap_idx = self.submaps.active_idx
+        self._scans_since_reinit = 0
+
+    # ------------------------------------------------------------------
+    # Loop closure + pose graph (≙ loopClosureWorker + OptimizationProblem).
+    # ------------------------------------------------------------------
+
+    def _attempt_loop_closures(self, finished_idx: int) -> int:
+        constraints = pr.build_loop_closure_constraints(
+            self.submaps, finished_idx, cfg=self.cfg.place_recognition
+        )
+        if not constraints:
+            return 0
+        self._loop_constraints.extend(constraints)
+        self._optimize_pose_graph()
+        return len(constraints)
+
+    def _optimize_pose_graph(self) -> None:
+        """Build nodes from submap anchors, odometry edges from consecutive
+        anchors, loop edges from accepted constraints; solve; apply."""
+        builder = pg.PoseGraphBuilder(self.cfg.node_capacity, self.cfg.edge_capacity)
+        for e in self.submaps.submaps:
+            builder.add_node(e.anchor)
+        for i, e in enumerate(self.submaps.submaps):
+            if e.parent is not None:
+                T_rel = np.linalg.inv(self.submaps.submaps[e.parent].anchor) @ e.anchor
+                builder.add_edge(e.parent, i, T_rel)
+        for c in self._loop_constraints:
+            builder.add_edge(
+                c.target_idx,
+                c.source_idx,
+                c.T_target_source,
+                info=c.information,
+                is_loop=True,
+            )
+        graph = builder.build()
+        out = pg.optimize(graph, self.cfg.pose_graph)
+        new_poses = np.asarray(out.poses, np.float64)
+
+        increments: Dict[int, np.ndarray] = {}
+        for i, e in enumerate(self.submaps.submaps):
+            inc = new_poses[i] @ np.linalg.inv(e.anchor)
+            if not np.allclose(inc, np.eye(4), atol=1e-6):
+                increments[i] = inc
+        if increments:
+            # Re-anchor the live pose with the active submap's increment
+            # (≙ Mapper::loopClosureUpdate).
+            active_inc = increments.get(self.submaps.active_idx, np.eye(4))
+            self.submaps.apply_pose_updates(increments)
+            self._map_pose = active_inc @ self._map_pose
+            self._ref_submap_idx = -1  # force reference rebuild
+
+    # ------------------------------------------------------------------
+    # Map export / localization mode.
+    # ------------------------------------------------------------------
+
+    def assembled_map(self) -> np.ndarray:
+        return self.submaps.map_points()
+
+    def save_map(self, path: str) -> None:
+        from open3d_slam_private_tpu.io import save_ply
+
+        save_ply(path, self.assembled_map())
+
+    def set_initial_map(self, points: np.ndarray, capacity: Optional[int] = None) -> None:
+        """Localization-on-prior-map mode (≙ ``SlamWrapper::setInitialMap``):
+        seed the collection with one big frozen submap."""
+        capacity = capacity or self.cfg.submaps.submap_capacity
+        batch = pc.from_points(points, capacity=capacity)
+        self.submaps.insert_scan(batch, np.eye(4), np.eye(4))
+        self._rebuild_reference(center=np.zeros(3))
+        self._initialized = True
+        self._last_insert_pose = self._map_pose.copy()
+
+    def set_initial_transform(self, T: np.ndarray) -> None:
+        """≙ ``SlamWrapper::setInitialTransform`` (map initializer output)."""
+        self._map_pose = np.asarray(T, np.float64).copy()
+
+
+class OnlineSlamRunner:
+    """Threaded online front-end over SlamPipeline (≙ the worker threads +
+    CircularBuffers). One worker drains the scan queue; callers never block.
+    The pipeline itself stays single-owner — only the worker touches it."""
+
+    def __init__(self, pipeline: SlamPipeline, queue_size: int = 20):
+        self.pipeline = pipeline
+        self._q: "queue.Queue" = queue.Queue(maxsize=queue_size)
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self.dropped = 0
+
+    def start(self) -> None:
+        self._worker.start()
+
+    def add_range_scan(self, scan: pc.PointBatch, time: float) -> None:
+        """Non-blocking enqueue; drops oldest under backpressure
+        (≙ CircularBuffer semantics)."""
+        try:
+            self._q.put_nowait((scan, time))
+        except queue.Full:
+            try:
+                self._q.get_nowait()
+                self.dropped += 1
+            except queue.Empty:
+                pass
+            self._q.put_nowait((scan, time))
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                scan, t = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            self.pipeline.process_scan(scan, t)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=5.0)
