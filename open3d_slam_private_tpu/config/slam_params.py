@@ -53,9 +53,7 @@ def _icp_from_tree(tree: dict, base: icp_mod.ICPConfig) -> icp_mod.ICPConfig:
         mapping = {
             "PointToPlaneIcp": "point_to_plane",
             "PointToPointIcp": "point_to_point",
-            # GICP's covariance-weighted cost is approximated by
-            # point-to-plane until the GICP minimizer lands.
-            "GeneralizedIcp": "point_to_plane",
+            "GeneralizedIcp": "gicp",
         }
         kw["minimizer"] = mapping.get(str(reg_type), "point_to_plane")
     return dataclasses.replace(base, **kw) if kw else base

@@ -55,8 +55,10 @@ class ICPConfig:
     robust: Optional[str] = None  # cauchy|huber|gm|tukey|welsch|sc|l1|student
     robust_scale: float = 1.0  # tuning constant (metres); MAD if <= 0
 
-    # Minimizer (≙ errorMinimizer block).
-    minimizer: str = "point_to_plane"  # "point_to_plane" | "point_to_point"
+    # Minimizer (≙ errorMinimizer block; "gicp" ≙ the CloudRegistration
+    # facade's GeneralizedIcp default, CloudRegistration.cpp:16-100).
+    minimizer: str = "point_to_plane"  # "point_to_plane" | "point_to_point" | "gicp"
+    gicp_epsilon: float = 1e-3  # disk-covariance small eigenvalue
     force_4dof: bool = False
 
     # Degeneracy awareness (≙ degeneracyAwareness options).
@@ -253,6 +255,30 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             loc = xicp._identity_result(dtype)
             resid = jnp.sqrt(
                 _allsum(jnp.sum(w * jnp.sum((src_flat - q) ** 2, -1)))
+                / jnp.maximum(_allsum(jnp.sum(w)), 1e-9)
+            )
+        elif cfg.minimizer == "gicp":
+            if reading.normals is None:
+                raise ValueError("gicp minimizer requires reading normals")
+            src_n = se3.apply_rotation(T, reading.normals)
+            src_n_flat = jnp.repeat(src_n, cfg.knn, axis=0)
+            A, b = minimizers.gicp_normal_equations(
+                src_flat, src_n_flat, q, mn, w, epsilon=cfg.gicp_epsilon
+            )
+            A, b = _allsum(A), _allsum(b)
+            x = minimizers.solve_normal_equations(A, b)
+            loc = xicp._identity_result(dtype)
+            w6, _ = jnp.linalg.eigh(A)
+            loc = dataclasses.replace(
+                loc,
+                eigenvalues6=w6,
+                condition_number=jnp.max(jnp.abs(w6))
+                / jnp.maximum(jnp.min(jnp.abs(w6)), 1e-30),
+            )
+            dT = minimizers.delta_transform_from_x(x)
+            rvec = src_flat - q
+            resid = jnp.sqrt(
+                _allsum(jnp.sum(w * jnp.sum(rvec * rvec, -1)))
                 / jnp.maximum(_allsum(jnp.sum(w)), 1e-9)
             )
         else:

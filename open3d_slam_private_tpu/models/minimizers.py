@@ -63,6 +63,85 @@ def point_to_plane_4dof_normal_equations(src_xyz, ref_xyz, ref_normals, weights)
     return A, b
 
 
+def gicp_normal_equations(
+    src_xyz, src_normals, ref_xyz, ref_normals, weights, epsilon: float = 1e-3
+):
+    """Generalized-ICP (plane-to-plane) 6x6 normal equations.
+
+    Segal et al.'s GICP with disk covariances derived from normals:
+    ``C = I - (1 - eps) n n^T`` (eigenvalues (1, 1, eps) about the normal).
+    Per-pair 3-vector residual ``r = p - q`` weighted by
+    ``M = (C_q + C_p')^-1`` (``C_p'`` already rotated — pass rotated source
+    normals). This is the cost behind the reference's
+    ``RegistrationGeneralizedICP`` facade default
+    (``CloudRegistration.cpp:16-100``).
+
+    Jacobian of r wrt x = [omega, t]: ``dr/domega = -[p]_x``, ``dr/dt = I``.
+    Returns (A [6,6], b [6]).
+    """
+    eye = jnp.eye(3, dtype=src_xyz.dtype)
+    k = 1.0 - epsilon
+    # M = (2I - k(nq nq^T + np np^T))^-1, closed-form 3x3 inverse per pair.
+    S = 2.0 * eye - k * (
+        jnp.einsum("pi,pj->pij", ref_normals, ref_normals)
+        + jnp.einsum("pi,pj->pij", src_normals, src_normals)
+    )
+    M = _inv3x3(S)
+
+    r = src_xyz - ref_xyz  # [P, 3]
+    Px = _hat(src_xyz)  # [P, 3, 3]
+    # J = [-[p]x | I] as two 3x3 blocks; A = J^T M J assembled blockwise.
+    MP = jnp.einsum("pij,pjk->pik", M, -Px)  # M * J_omega
+    w = weights[:, None, None]
+    A_oo = jnp.einsum("pji,pjk->ik", -Px * w, MP)
+    A_ot = jnp.einsum("pji,pjk->ik", -Px * w, M)
+    A_tt = jnp.einsum("pij->ij", M * w)
+    A = jnp.zeros((6, 6), src_xyz.dtype)
+    A = A.at[:3, :3].set(A_oo)
+    A = A.at[:3, 3:].set(A_ot)
+    A = A.at[3:, :3].set(A_ot.T)
+    A = A.at[3:, 3:].set(A_tt)
+    Mr = jnp.einsum("pij,pj->pi", M, r) * weights[:, None]
+    b_o = -jnp.einsum("pji,pj->i", -Px, Mr)
+    b_t = -jnp.sum(Mr, axis=0)
+    b = jnp.concatenate([b_o, b_t])
+    return A, b
+
+
+def _hat(v):
+    """Batched skew matrices ``[P, 3] -> [P, 3, 3]``."""
+    z = jnp.zeros_like(v[:, 0])
+    return jnp.stack(
+        [
+            jnp.stack([z, -v[:, 2], v[:, 1]], -1),
+            jnp.stack([v[:, 2], z, -v[:, 0]], -1),
+            jnp.stack([-v[:, 1], v[:, 0], z], -1),
+        ],
+        axis=-2,
+    )
+
+
+def _inv3x3(S):
+    """Closed-form batched 3x3 inverse (adjugate / det) — VPU only."""
+    a, b_, c = S[:, 0, 0], S[:, 0, 1], S[:, 0, 2]
+    d, e, f = S[:, 1, 0], S[:, 1, 1], S[:, 1, 2]
+    g, h, i = S[:, 2, 0], S[:, 2, 1], S[:, 2, 2]
+    A_ = e * i - f * h
+    B_ = -(d * i - f * g)
+    C_ = d * h - e * g
+    det = a * A_ + b_ * B_ + c * C_
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+    adj = jnp.stack(
+        [
+            jnp.stack([A_, -(b_ * i - c * h), b_ * f - c * e], -1),
+            jnp.stack([B_, a * i - c * g, -(a * f - c * d)], -1),
+            jnp.stack([C_, -(a * h - b_ * g), a * e - b_ * d], -1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[:, None, None]
+
+
 def solve_normal_equations(A: jax.Array, b: jax.Array, rcond: float = 1e-7) -> jax.Array:
     """Minimum-norm least-squares solve of symmetric ``A x = b``.
 

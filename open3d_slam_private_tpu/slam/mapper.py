@@ -72,10 +72,21 @@ class MapperConfig:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def process_scan_for_matching(scan: pc.PointBatch, cfg: MapperConfig) -> pc.PointBatch:
     """Narrow crop + voxelize (≙ processForScanMatchingAndMerging,
-    ``ScanToMapRegistration.cpp:57-69``)."""
+    ``ScanToMapRegistration.cpp:57-69``). GICP additionally needs scan-side
+    normals (its plane-to-plane covariances), so estimate them here."""
     d2 = jnp.sum(scan.xyz * scan.xyz, axis=-1)
     s = scan.with_mask(d2 <= cfg.scan_crop_radius**2)
-    return voxel_downsample(s, cfg.scan_voxel_size, capacity=cfg.scan_capacity)
+    s = voxel_downsample(s, cfg.scan_voxel_size, capacity=cfg.scan_capacity)
+    if cfg.icp.minimizer == "gicp" and s.normals is None:
+        ngrid = grid_hash.build_grid(
+            s.padded_xyz(), s.mask, 2.0 * cfg.normals_radius,
+            cfg.icp.grid_table_size, 32,
+        )
+        s = normals_mod.estimate_normals_grid(
+            s, ngrid, knn=cfg.normals_knn, max_dist=cfg.normals_radius,
+            orient_towards=(0.0, 0.0, 0.0),
+        )
+    return s
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -35,6 +35,14 @@ class PlaceRecognitionConfig:
     max_candidate_distance: float = 40.0  # anchor distance gate
     min_submaps_between_candidates: int = 2  # consecutiveness gate
     min_adjacency_distance: int = 3  # BFS hop gate (skip direct neighbours)
+    # Coarse alignment: FPFH + device RANSAC (≙ the reference's
+    # RegistrationRANSACBasedOnFeatureMatching) seeded into ICP; falls back
+    # to the yaw/translation hypothesis grid when features fail.
+    use_fpfh_ransac: bool = True
+    fpfh_knn: int = 16
+    ransac_hypotheses: int = 1024
+    ransac_inlier_dist: float = 0.5
+    ransac_min_inliers: int = 15
     num_yaw_hypotheses: int = 16
     num_xy_offsets: int = 1  # 1 => center only; 5 => center + 4 offsets
     xy_offset: float = 5.0
@@ -111,18 +119,70 @@ def _seed_grid(T_anchor_rel: np.ndarray, cfg: PlaceRecognitionConfig) -> np.ndar
     return np.stack(seeds).astype(np.float32)
 
 
+def fpfh_coarse_align(
+    source: pc.PointBatch,
+    target: pc.PointBatch,
+    cfg: PlaceRecognitionConfig,
+    seed: int = 0,
+) -> Optional[np.ndarray]:
+    """FPFH features + mutual matching + device RANSAC -> coarse T or None.
+
+    Both clouds must carry normals. The whole path runs on device
+    (≙ ``PlaceRecognition.cpp:81-85`` via Open3D on CPU)."""
+    import jax as _jax
+
+    from open3d_slam_private_tpu.models import ransac as ransac_mod
+    from open3d_slam_private_tpu.ops import fpfh as fpfh_mod
+    from open3d_slam_private_tpu.ops import grid_hash
+
+    radius = 2.0 * cfg.icp.max_match_dist
+    g_s = grid_hash.build_grid(
+        source.padded_xyz(), source.mask, radius, 1 << 14, 32, normals=source.normals
+    )
+    g_t = grid_hash.build_grid(
+        target.padded_xyz(), target.mask, radius, 1 << 14, 32, normals=target.normals
+    )
+    f_s = fpfh_mod.compute_fpfh(source, g_s, knn=cfg.fpfh_knn)
+    f_t = fpfh_mod.compute_fpfh(target, g_t, knn=cfg.fpfh_knn)
+    ids, ok = fpfh_mod.mutual_matches(f_s, source.mask, f_t, target.mask)
+    if int(jnp.sum(ok)) < cfg.ransac_min_inliers:
+        return None
+    tgt_pts = target.xyz[jnp.maximum(ids, 0)]
+    res = ransac_mod.ransac_align(
+        source.xyz, tgt_pts, ok, _jax.random.key(seed),
+        ransac_mod.RansacConfig(
+            num_hypotheses=cfg.ransac_hypotheses,
+            inlier_dist=cfg.ransac_inlier_dist,
+            min_inliers=cfg.ransac_min_inliers,
+        ),
+    )
+    if not bool(res.ok):
+        return None
+    return np.asarray(res.transform, np.float64)
+
+
 def verify_candidate(
     source_cloud: pc.PointBatch,
     target_cloud: pc.PointBatch,
     T_init: np.ndarray,
     cfg: PlaceRecognitionConfig,
 ) -> Optional[tuple]:
-    """Refine source->target over the seed grid; return (T, overlap,
+    """Refine source->target; coarse alignment from FPFH-RANSAC when it
+    succeeds, else the seed grid around T_init. Returns (T, overlap,
     residual) of the best accepted hypothesis or None."""
+    source_cloud = normals_mod.estimate_normals(
+        source_cloud, knn=8, max_dist=2.0 * cfg.icp.max_match_dist
+    )
     target = normals_mod.estimate_normals(
         target_cloud, knn=8, max_dist=2.0 * cfg.icp.max_match_dist
     )
-    seeds = jnp.asarray(_seed_grid(T_init, cfg))
+    seeds_list = [np.asarray(_seed_grid(T_init, cfg))]
+    if cfg.use_fpfh_ransac:
+        T_coarse = fpfh_coarse_align(source_cloud, target, cfg)
+        if T_coarse is not None:
+            # The RANSAC pose replaces the blind grid as the lead seed.
+            seeds_list.insert(0, T_coarse[None].astype(np.float32))
+    seeds = jnp.asarray(np.concatenate(seeds_list, axis=0))
     res = icp_mod.register_hypotheses(source_cloud, target, seeds, cfg.icp)
     overlap = np.asarray(res.overlap_ratio)
     residual = np.asarray(res.residual)

@@ -261,3 +261,38 @@ def test_4dof_mode(rng):
     # Rotation must be pure yaw.
     T = np.asarray(res.transform)
     assert abs(T[2, 0]) < 1e-5 and abs(T[2, 1]) < 1e-5
+
+
+def test_gicp_recovers_transform(rng):
+    ref_pts = make_surface_cloud(rng)
+    ref = with_normals(ref_pts)
+    T_true = small_transform()
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    reading = normals_mod.estimate_normals(pc.from_points(reading_pts), knn=10)
+    cfg = icp_mod.ICPConfig(**{**BASE_CFG.__dict__, "minimizer": "gicp"})
+    res = icp_mod.register_pair(reading, ref, jnp.eye(4), cfg)
+    rot_err, trans_err = pose_error(res.transform, T_true)
+    assert trans_err < 1e-3, trans_err
+    assert rot_err < 2e-4, rot_err
+
+
+def test_gicp_beats_point_to_point_on_sliding_planes(rng):
+    # Two offset parallel planes sliding: plane-to-plane cost should still
+    # lock z while tolerating in-plane sampling differences.
+    n = 1500
+    a = np.c_[rng.uniform(-3, 3, (n, 2)), np.zeros((n, 1))].astype(np.float32)
+    b = np.c_[rng.uniform(-3, 3, (n, 2)), np.full((n, 1), 1.0)].astype(np.float32)
+    ref_pts = np.vstack([a, b])
+    ref = with_normals(ref_pts)
+    T_true = se3.exp_se3(jnp.asarray([0, 0, 0, 0, 0, 0.3], jnp.float32))
+    # Independent sampling of the same surfaces for the reading.
+    a2 = np.c_[rng.uniform(-3, 3, (n, 2)), np.zeros((n, 1))].astype(np.float32)
+    b2 = np.c_[rng.uniform(-3, 3, (n, 2)), np.full((n, 1), 1.0)].astype(np.float32)
+    reading_pts = np.asarray(
+        se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(np.vstack([a2, b2])))
+    )
+    reading = normals_mod.estimate_normals(pc.from_points(reading_pts), knn=10)
+    cfg = icp_mod.ICPConfig(**{**BASE_CFG.__dict__, "minimizer": "gicp"})
+    res = icp_mod.register_pair(reading, ref, jnp.eye(4), cfg)
+    T = np.asarray(res.transform)
+    assert abs(T[2, 3] - 0.3) < 0.02, T[2, 3]
