@@ -71,7 +71,7 @@ def main():
         max_match_dist=0.5,
         matcher="grid",
         grid_table_size=1 << 17,
-        grid_bucket_cap=8,
+        grid_bucket_cap=48,  # exact recall at 0.15 m map / 0.5 m radius
         trimmed_ratio=0.9,
         minimizer="point_to_plane",
         max_iterations=10,
@@ -79,6 +79,8 @@ def main():
         min_diff_trans=8e-3,
         coarse_iterations=20,
         coarse_stride=8,
+        candidate_refresh_every=5,
+        candidate_slack=0.25,
     )
 
     # Build the submap: dense scene voxelized to 0.15 m with normals.
@@ -109,27 +111,37 @@ def main():
     readings = pc.stack(scans)
     init_Ts = jnp.asarray(np.stack(priors))
 
-    run = jax.jit(
-        jax.vmap(
-            lambda r, T: (lambda res: (res.transform, res.iterations))(
-                icp_mod.icp_single(r, ref, T, cfg)
-            ),
-            in_axes=(0, 0),
-        )
+    from open3d_slam_private_tpu.utils.timing import relay_roundtrip
+
+    # Each round registers from the previous round's result perturbed by a
+    # fixed ~5 cm/0.3 deg offset: a real data dependency (the relay's
+    # block_until_ready is unreliable, so timing must chain through data)
+    # with representative per-round work.
+    perturb = jnp.asarray(
+        se3.exp_se3(jnp.asarray([0.004, 0, -0.003, 0.03, 0.02, -0.01], jnp.float32))
     )
 
-    # Warmup / compile.
-    out, iters = run(readings, init_Ts)
-    out.block_until_ready()
+    @jax.jit
+    def chain_round(Ts):
+        res = jax.vmap(lambda r, T: icp_mod.icp_single(r, ref, T, cfg))(readings, Ts)
+        return res.transform @ perturb, res.iterations
 
-    # Throughput.
+    def sync(x):
+        return float(jnp.sum(x))
+
+    # Warmup / compile.
+    Ts, iters = chain_round(init_Ts)
+    sync(Ts)
+    rt = relay_roundtrip()
+
     t0 = time.perf_counter()
     for _ in range(ROUNDS):
-        out, iters = run(readings, init_Ts)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+        Ts, iters = chain_round(Ts)
+    sync(Ts)
+    dt = time.perf_counter() - t0 - rt
     regs_per_s = ROUNDS * B / dt
     mean_iters = float(np.mean(np.asarray(iters)))
+    out = Ts @ jnp.linalg.inv(perturb)
 
     # Accuracy sanity: every registration within tolerance of truth.
     errs = []
@@ -138,15 +150,19 @@ def main():
         errs.append(np.linalg.norm(delta[:3, 3]))
     max_trans_err = float(np.max(errs))
 
-    # Single-problem p50 latency (the 10 Hz real-time budget).
-    run1 = jax.jit(lambda r, T: icp_mod.icp_single(r, ref, T, cfg).transform)
-    one = run1(scans[0], init_Ts[0])
-    one.block_until_ready()
+    # Single-problem p50 latency (the 10 Hz real-time budget), chained.
+    @jax.jit
+    def chain_one(T):
+        return icp_mod.icp_single(scans[0], ref, T, cfg).transform @ perturb
+
+    T1 = chain_one(init_Ts[0])
+    sync(T1)
     lats = []
     for _ in range(10):
         t0 = time.perf_counter()
-        run1(scans[0], init_Ts[0]).block_until_ready()
-        lats.append(time.perf_counter() - t0)
+        T1 = chain_one(T1)
+        sync(T1)
+        lats.append(time.perf_counter() - t0 - rt)
     p50_ms = float(np.median(lats) * 1e3)
 
     baseline_per_chip = 250.0  # 2000/s on 8 chips
@@ -160,6 +176,7 @@ def main():
                 "extra": {
                     "p50_latency_ms": round(p50_ms, 2),
                     "latency_budget_ms": 100.0,
+                    "relay_roundtrip_ms": round(rt * 1e3, 1),
                     "batch": B,
                     "reading_points": N_READ,
                     "map_points": int(jnp.sum(submap.mask)),

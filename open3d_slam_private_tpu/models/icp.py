@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from open3d_slam_private_tpu.geometry import se3
 from open3d_slam_private_tpu.models import localizability as xicp
 from open3d_slam_private_tpu.models import minimizers
+from open3d_slam_private_tpu.ops import cell_list as cell_mod
 from open3d_slam_private_tpu.ops import grid_hash as grid_mod
 from open3d_slam_private_tpu.ops import knn as knn_mod
 from open3d_slam_private_tpu.ops import outliers
@@ -47,7 +48,10 @@ class ICPConfig:
     max_match_dist: float = jnp.inf
     matcher: str = "grid"  # "grid" | "brute"
     grid_table_size: int = 1 << 15
-    grid_bucket_cap: int = 16
+    # Per-cell candidate list capacity: size for the density of the map
+    # (points within match radius of a cell; ~40 for a 0.15 m-voxel map at
+    # 0.5 m radius).
+    grid_bucket_cap: int = 48
 
     # Outlier filters (≙ outlierFilters block).
     trimmed_ratio: Optional[float] = None  # TrimmedDistOutlierFilter ratio
@@ -79,6 +83,15 @@ class ICPConfig:
     # at full resolution under the normal checkers. 0 disables.
     coarse_iterations: int = 0
     coarse_stride: int = 8
+
+    # Candidate caching (grid matcher only): gather each query's 2x2x2
+    # bucket payloads once per ``candidate_refresh_every`` iterations and
+    # re-rank the cache in between (pure streaming math, no gathers).
+    # ``candidate_slack`` widens the grid cell (cell = 2 * (radius + slack))
+    # so cached candidates stay exact while the pose moves < slack metres
+    # within a round. 0 disables (re-match every iteration, reference-exact).
+    candidate_refresh_every: int = 0
+    candidate_slack: float = 0.25
 
     # Multi-device: when set, the reading's point axis is sharded over this
     # mesh axis (inside shard_map); partial 6x6 blocks are psum-reduced and
@@ -119,7 +132,7 @@ class ICPReference:
 
     cloud: PointBatch  # centered at centroid
     centroid: jax.Array  # [3]
-    grid: Optional[grid_mod.GridHash]
+    grid: Optional[cell_mod.CellList]
 
 
 def build_reference(reference: PointBatch, cfg: ICPConfig) -> ICPReference:
@@ -139,13 +152,13 @@ def build_reference(reference: PointBatch, cfg: ICPConfig) -> ICPReference:
                 "grid matcher requires a finite max_match_dist (cell size is "
                 "2 * max_match_dist); use matcher='brute' for unbounded search"
             )
-        cell = 2.0 * cfg.max_match_dist
-        grid = grid_mod.build_grid(
+        slack = cfg.candidate_slack if cfg.candidate_refresh_every > 0 else 0.0
+        grid = cell_mod.build_cell_list(
             centered.padded_xyz(),
             centered.mask,
-            cell,
+            cfg.max_match_dist + slack,
             table_size=cfg.grid_table_size,
-            bucket_cap=cfg.grid_bucket_cap,
+            list_cap=cfg.grid_bucket_cap,
             normals=centered.normals,  # inlined payload: match => no gathers
         )
     return ICPReference(cloud=centered, centroid=c, grid=grid)
@@ -154,7 +167,7 @@ def build_reference(reference: PointBatch, cfg: ICPConfig) -> ICPReference:
 def _match(src_xyz, src_mask, ref: ICPReference, cfg: ICPConfig) -> grid_mod.MatchResult:
     """Correspondences with inlined matched payloads (xyz + normals)."""
     if cfg.matcher == "grid":
-        return grid_mod.grid_match(
+        return cell_mod.cell_match(
             ref.grid, src_xyz, src_mask, k=cfg.knn, max_dist=cfg.max_match_dist
         )
     res = knn_mod.knn_bruteforce(
@@ -241,9 +254,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
 
     n_valid = jnp.maximum(_allsum(reading.count().astype(dtype)), 1.0)
 
-    def one_iteration(T):
-        src = se3.apply_transform(T, reading.xyz)
-        res = _match(src, reading.mask, ref, cfg)
+    def gn_update(T, src, res):
         q = res.xyz.reshape(-1, 3)
         mn = res.normals.reshape(-1, 3)
         w = _weights(res, reading, mn, cfg)
@@ -303,6 +314,11 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
         overlap = _allsum(jnp.sum((w > 0).astype(dtype))) / (n_valid * cfg.knn)
         return dT, loc, match_ratio, overlap, resid
 
+    def one_iteration(T):
+        src = se3.apply_transform(T, reading.xyz)
+        res = _match(src, reading.mask, ref, cfg)
+        return gn_update(T, src, res)
+
     loc0 = xicp._identity_result(dtype)
     state0 = dict(
         T=T0,
@@ -320,8 +336,8 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
     def cond(s):
         return (s["it"] < max_iterations) & ~s["done"]
 
-    def body(s):
-        dT, loc, match_ratio, overlap, resid = one_iteration(s["T"])
+    def advance(s, step_out):
+        dT, loc, match_ratio, overlap, resid = step_out
         T_new = dT @ s["T"]
         # Differential checker deltas between consecutive transforms.
         dr = se3.rotation_angular_distance(T_new[:3, :3], s["T"][:3, :3])
@@ -343,6 +359,40 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             resid=resid,
             converged=converged,
         )
+
+    if cfg.candidate_refresh_every > 0 and cfg.matcher == "grid":
+        # Candidate-cached mode: gather the 2x2x2 payload superset once per
+        # round, then run ``candidate_refresh_every`` pure-VPU GN iterations
+        # against the cache. Exact while the pose moves less than the grid's
+        # slack margin per round (cell = 2 * (radius + slack)); fixed-length
+        # scans keep it vmap-friendly (no data-dependent gathers).
+        R = cfg.candidate_refresh_every
+        rounds = -(-max_iterations // R)
+
+        def masked(s, step_out):
+            new = advance(s, step_out)
+            active = ~s["done"] & (s["it"] < max_iterations)
+            return jax.tree.map(lambda old, nw: jnp.where(active, nw, old), s, new)
+
+        def round_body(s, _):
+            src0 = se3.apply_transform(s["T"], reading.xyz)
+            rows, valid = cell_mod.gather_cell_candidates(ref.grid, src0, reading.mask)
+
+            def inner(si, _):
+                src = se3.apply_transform(si["T"], reading.xyz)
+                res = grid_mod.match_from_candidates(
+                    rows, valid, src, reading.mask, cfg.max_match_dist, cfg.knn
+                )
+                return masked(si, gn_update(si["T"], src, res)), None
+
+            s, _ = jax.lax.scan(inner, s, None, length=R)
+            return s, None
+
+        final, _ = jax.lax.scan(round_body, state0, None, length=rounds)
+        return final
+
+    def body(s):
+        return advance(s, one_iteration(s["T"]))
 
     return jax.lax.while_loop(cond, body, state0)
 

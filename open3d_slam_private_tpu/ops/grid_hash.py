@@ -240,6 +240,95 @@ def grid_match(
     )
 
 
+@functools.partial(jax.jit, static_argnames=())
+def gather_candidates(grid: GridHash, query_xyz: jax.Array, query_mask: jax.Array):
+    """Fetch the 2x2x2 candidate payloads once: ``rows [N, 8C, 8]``,
+    ``valid [N, 8C]`` (duplicate buckets + empty slots already invalidated).
+
+    The refresh step of candidate caching: matching against these rows is
+    EXACT for any query displacement up to the grid's slack margin
+    (cell_size / 2 - search radius), so an ICP inner loop can re-rank the
+    cached candidates for several iterations without touching the table.
+    """
+    n = query_xyz.shape[0]
+    cap = grid.bucket_cap
+    table_size = grid.table_size
+    u = query_xyz / grid.cell_size
+    base_cell = jnp.floor(u).astype(jnp.int32)
+    frac = u - jnp.floor(u)
+    step = jnp.where(frac < 0.5, -1, 1).astype(jnp.int32)
+
+    hashes = []
+    for bits in range(8):
+        offs = jnp.array([(bits >> 2) & 1, (bits >> 1) & 1, bits & 1], jnp.int32)
+        hashes.append(_cell_hash(base_cell + step * offs[None, :], table_size))
+
+    flat = grid.table.reshape(table_size, cap * _CH)
+    rows_out = []
+    valid_out = []
+    for bits in range(8):
+        h = hashes[bits]
+        seen = jnp.zeros((n,), bool)
+        for prev in range(bits):
+            seen = seen | (h == hashes[prev])
+        rows = flat[h].reshape(n, cap, _CH)
+        ids = jax.lax.bitcast_convert_type(rows[..., _IDX_CH], jnp.int32)
+        valid = (ids >= 0) & ~seen[:, None] & query_mask[:, None]
+        rows_out.append(rows)
+        valid_out.append(valid)
+    return jnp.concatenate(rows_out, axis=1), jnp.concatenate(valid_out, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def match_from_candidates(
+    rows: jax.Array,  # [N, M, 8] cached payloads
+    valid: jax.Array,  # [N, M]
+    query_xyz: jax.Array,
+    query_mask: jax.Array,
+    max_dist,
+    k: int = 1,
+) -> MatchResult:
+    """Re-rank cached candidates for the current query positions.
+
+    One streaming pass over the cache — no gathers. Semantically identical
+    to :func:`grid_match` while the queries stay within the slack margin.
+    """
+    n, m, _ = rows.shape
+    dtype = query_xyz.dtype
+    radius = jnp.asarray(max_dist, dtype)
+    max_d2 = radius * radius
+
+    diff = rows[..., :3] - query_xyz[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(valid, d2, INF)
+    cand_ids = jax.lax.bitcast_convert_type(rows[..., _IDX_CH], jnp.int32)
+
+    if k == 1:
+        best_d = jnp.min(d2, axis=-1, keepdims=True)
+        is_min = d2 <= best_d
+        first = jnp.cumsum(is_min.astype(jnp.int32), axis=-1) == 1
+        pick = (is_min & first).astype(dtype)
+        sel_row = jnp.sum(rows * pick[:, :, None], axis=1)
+        best_i = jnp.sum(jnp.where(is_min & first, cand_ids, 0), axis=-1, keepdims=True)
+        best_x = sel_row[:, None, :3]
+        best_nrm = sel_row[:, None, _NRM]
+    else:
+        neg_d, sel = jax.lax.top_k(-d2, k)
+        best_d = -neg_d
+        best_i = jnp.take_along_axis(cand_ids, sel, axis=-1)
+        sel_rows = jnp.take_along_axis(rows, sel[..., None], axis=1)
+        best_x = sel_rows[..., :3]
+        best_nrm = sel_rows[..., _NRM]
+
+    invalid = (best_d > max_d2) | ~jnp.isfinite(best_d) | ~query_mask[:, None]
+    return MatchResult(
+        dists=jnp.where(invalid, INF, best_d),
+        ids=jnp.where(invalid, INVALID_ID, best_i),
+        xyz=jnp.where(invalid[..., None], 0.0, best_x),
+        normals=jnp.where(invalid[..., None], 0.0, best_nrm),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def grid_knn(
     grid: GridHash,

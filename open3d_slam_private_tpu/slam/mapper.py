@@ -58,7 +58,7 @@ class MapperConfig:
             max_match_dist=0.5,
             matcher="grid",
             grid_table_size=1 << 16,
-            grid_bucket_cap=16,
+            grid_bucket_cap=48,
             trimmed_ratio=0.9,
             minimizer="point_to_plane",
             max_iterations=30,

@@ -43,7 +43,7 @@ class OdometryConfig:
             max_match_dist=1.0,
             matcher="grid",
             grid_table_size=1 << 14,
-            grid_bucket_cap=16,
+            grid_bucket_cap=96,
             trimmed_ratio=0.8,
             minimizer="point_to_plane",
             max_iterations=20,

@@ -56,7 +56,7 @@ class PlaceRecognitionConfig:
             max_match_dist=1.0,
             matcher="grid",
             grid_table_size=1 << 15,
-            grid_bucket_cap=16,
+            grid_bucket_cap=96,
             trimmed_ratio=0.8,
             minimizer="point_to_plane",
             max_iterations=30,

@@ -1,0 +1,48 @@
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from open3d_slam_private_tpu import evaluation
+from open3d_slam_private_tpu.geometry import se3
+from open3d_slam_private_tpu.models import icp as icp_mod
+
+from tests.test_icp import BASE_CFG, make_surface_cloud
+
+
+def test_evaluate_and_report(rng, tmp_path):
+    cases = []
+    for i in range(3):
+        ref = make_surface_cloud(rng, 900)
+        T_gt = np.asarray(se3.exp_se3(jnp.asarray([0.02, 0, 0.01 * i, 0.1, -0.05, 0.02], jnp.float32)))
+        reading = (np.linalg.inv(T_gt)[None, :3, :3] @ ref[:, :, None])[:, :, 0] + np.linalg.inv(T_gt)[:3, 3]
+        cases.append(evaluation.EvalCase(reading.astype(np.float32), ref, T_gt, np.eye(4), name=f"case{i}"))
+    cfg = dataclasses.replace(BASE_CFG, matcher="grid", grid_table_size=1 << 13, grid_bucket_cap=48)
+    results, summary = evaluation.evaluate(cases, cfg, reading_capacity=1024, reference_capacity=1024)
+    assert summary["cases"] == 3
+    assert summary["trans_err_p50_m"] < 5e-3, summary
+    assert summary["converged_frac"] == 1.0
+    out = tmp_path / "report.csv"
+    evaluation.write_report(str(out), results, summary)
+    text = out.read_text()
+    assert "trans_err_p50_m" in text and "case0" in text
+
+
+def test_manifest_roundtrip(rng, tmp_path):
+    from open3d_slam_private_tpu.io import save_ply
+
+    ref = make_surface_cloud(rng, 500)
+    read = ref + np.float32([0.05, 0, 0])
+    p_ref, p_read = tmp_path / "ref.ply", tmp_path / "read.ply"
+    save_ply(str(p_ref), ref)
+    save_ply(str(p_read), read)
+    gt = np.eye(4); gt[0, 3] = 0.05
+    man = tmp_path / "manifest.csv"
+    cols = ["reading", "reference"] + [f"gt_{i}{j}" for i in range(4) for j in range(4)]
+    with open(man, "w") as f:
+        f.write(",".join(cols) + "\n")
+        f.write(",".join([str(p_read), str(p_ref)] + [str(v) for v in gt.flatten()]) + "\n")
+    cases = evaluation.load_manifest(str(man))
+    assert len(cases) == 1
+    np.testing.assert_allclose(cases[0].T_gt, gt)
+    assert cases[0].reading.shape == ref.shape

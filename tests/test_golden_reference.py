@@ -67,7 +67,7 @@ GOLDEN_CFG = icp_mod.ICPConfig(
     max_match_dist=2.0,
     matcher="grid",
     grid_table_size=1 << 15,
-    grid_bucket_cap=16,
+    grid_bucket_cap=256,  # radius 2.0 m on a 0.3 m-voxel map needs deep lists
     trimmed_ratio=0.75,
     minimizer="point_to_plane",
     max_iterations=40,

@@ -296,3 +296,48 @@ def test_gicp_beats_point_to_point_on_sliding_planes(rng):
     res = icp_mod.register_pair(reading, ref, jnp.eye(4), cfg)
     T = np.asarray(res.transform)
     assert abs(T[2, 3] - 0.3) < 0.02, T[2, 3]
+
+
+def test_candidate_cached_matches_exact(rng):
+    """Cache-mode ICP must land on (nearly) the same transform as the
+    re-match-every-iteration mode."""
+    ref_pts = make_surface_cloud(rng)
+    ref = with_normals(ref_pts)
+    T_true = small_transform()
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    reading = pc.from_points(reading_pts)
+    base = icp_mod.ICPConfig(**{**BASE_CFG.__dict__, "matcher": "grid",
+                               "grid_table_size": 1 << 14, "grid_bucket_cap": 32})
+    cached = icp_mod.ICPConfig(**{**base.__dict__, "candidate_refresh_every": 5,
+                                  "candidate_slack": 0.25})
+    res_e = icp_mod.register_pair(reading, ref, jnp.eye(4), base)
+    res_c = icp_mod.register_pair(reading, ref, jnp.eye(4), cached)
+    # Early rounds can exceed the slack (cold start), so allow small
+    # deviation; accuracy vs ground truth must stay in the same class.
+    np.testing.assert_allclose(
+        np.asarray(res_c.transform), np.asarray(res_e.transform), atol=3e-3
+    )
+    rot_err, trans_err = pose_error(res_c.transform, T_true)
+    assert trans_err < 2e-3, trans_err
+
+
+def test_candidate_cached_with_good_prior_is_exact(rng):
+    """With a near-truth prior (the production fine-phase regime), cached
+    mode matches the exact matcher tightly."""
+    ref_pts = make_surface_cloud(rng)
+    ref = with_normals(ref_pts)
+    T_true = small_transform()
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    reading = pc.from_points(reading_pts)
+    prior = np.asarray(T_true) @ np.asarray(
+        se3.exp_se3(jnp.asarray([0.003, 0, -0.002, 0.02, 0.01, 0], jnp.float32))
+    )
+    base = icp_mod.ICPConfig(**{**BASE_CFG.__dict__, "matcher": "grid",
+                               "grid_table_size": 1 << 14, "grid_bucket_cap": 32})
+    cached = icp_mod.ICPConfig(**{**base.__dict__, "candidate_refresh_every": 5,
+                                  "candidate_slack": 0.25})
+    res_e = icp_mod.register_pair(reading, ref, jnp.asarray(prior, jnp.float32), base)
+    res_c = icp_mod.register_pair(reading, ref, jnp.asarray(prior, jnp.float32), cached)
+    np.testing.assert_allclose(
+        np.asarray(res_c.transform), np.asarray(res_e.transform), atol=2e-4
+    )
