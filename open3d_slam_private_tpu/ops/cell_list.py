@@ -100,8 +100,14 @@ def build_cell_list(
     s_h = flat_h[order]
     s_pt = flat_pt[order]
 
-    first_pos = jnp.searchsorted(s_h, s_h, side="left")
-    rank = jnp.arange(s_h.shape[0], dtype=jnp.int32) - first_pos.astype(jnp.int32)
+    # Rank within each equal-key run via cummax of run-start positions
+    # (searchsorted is ~100x slower on TPU).
+    first_flag = jnp.concatenate(
+        [jnp.ones((1,), bool), s_h[1:] != s_h[:-1]]
+    )
+    idxs = jnp.arange(s_h.shape[0], dtype=jnp.int32)
+    first_pos = jax.lax.cummax(jnp.where(first_flag, idxs, 0))
+    rank = idxs - first_pos
     in_table = (s_h < table_size) & (rank < list_cap)
     slot = jnp.where(in_table, s_h * list_cap + rank, table_size * list_cap)
 

@@ -186,3 +186,119 @@ def cut_at_descriptor_threshold(
     v = batch.extras[name][..., 0]
     keep = v <= threshold if use_larger_than else v >= threshold
     return batch.with_mask(keep)
+
+
+# ---------------------------------------------------------------------------
+# Density / sampling filters needing neighbourhood or normal information.
+# ---------------------------------------------------------------------------
+
+
+def max_density(batch: PointBatch, key: jax.Array, max_dens: float, knn: int = 8) -> PointBatch:
+    """MaxDensityDataPointsFilter: estimate local density from the KNN ball
+    and randomly thin regions above ``max_dens`` points/m^3 so the expected
+    density matches the cap (same stochastic policy as the reference)."""
+    from open3d_slam_private_tpu.ops import knn as knn_mod
+
+    xyz = batch.padded_xyz()
+    res = knn_mod.knn_bruteforce(xyz, batch.mask, xyz, batch.mask, k=knn)
+    r2 = res.dists[:, -1]  # squared radius of the knn ball
+    r3 = jnp.maximum(r2, 1e-12) ** 1.5
+    density = knn / (4.0 / 3.0 * jnp.pi * r3)
+    keep_prob = jnp.clip(max_dens / jnp.maximum(density, 1e-9), 0.0, 1.0)
+    u = jax.random.uniform(key, batch.mask.shape)
+    return batch.with_mask(u < keep_prob)
+
+
+def normal_space_sampling(
+    batch: PointBatch, key: jax.Array, target_count: int,
+    n_theta: int = 8, n_phi: int = 16,
+) -> PointBatch:
+    """NormalSpaceDataPointsFilter: uniform sampling over the normal-sphere
+    (Rusinkiewicz's normal-space sampling): bin normals into an az/el grid
+    and keep an equal random quota per occupied bin."""
+    normals = batch.extras["normals"]
+    theta = jnp.arccos(jnp.clip(normals[:, 2], -1.0, 1.0))  # [0, pi]
+    phi = jnp.arctan2(normals[:, 1], normals[:, 0])  # [-pi, pi]
+    ti = jnp.clip((theta / jnp.pi * n_theta).astype(jnp.int32), 0, n_theta - 1)
+    pi_ = jnp.clip(((phi + jnp.pi) / (2 * jnp.pi) * n_phi).astype(jnp.int32), 0, n_phi - 1)
+    bin_id = jnp.where(batch.mask, ti * n_phi + pi_, n_theta * n_phi)
+    n_bins = n_theta * n_phi
+
+    # Rank points within each bin by a random score (sort by (bin, score)).
+    score = jax.random.uniform(key, batch.mask.shape)
+    order0 = jnp.argsort(score)
+    order = order0[jnp.argsort(bin_id[order0], stable=True)]
+    s_bin = bin_id[order]
+    first_flag = jnp.concatenate([jnp.ones((1,), bool), s_bin[1:] != s_bin[:-1]])
+    idxs = jnp.arange(batch.capacity, dtype=jnp.int32)
+    rank = idxs - jax.lax.cummax(jnp.where(first_flag, idxs, 0))
+    quota = max(1, target_count // n_bins)
+    keep_sorted = (rank < quota) & (s_bin < n_bins)
+    keep = jnp.zeros_like(batch.mask).at[order].set(keep_sorted)
+    return batch.with_mask(keep)
+
+
+def covariance_sampling(batch: PointBatch, target_count: int) -> PointBatch:
+    """CovarianceSamplingDataPointsFilter (Gelfand et al. geometrically
+    stable sampling): keep the points contributing most to the weakest
+    directions of the torque-normalized 6x6 constraint covariance."""
+    normals = batch.extras["normals"]
+    # Torque normalization: scale positions by 1/L so rotation and
+    # translation contributions are commensurate.
+    from open3d_slam_private_tpu.ops.pointcloud import masked_mean
+
+    c = masked_mean(batch.xyz, batch.mask[..., None], axis=-2)
+    rel = batch.xyz - c
+    L = jnp.sqrt(masked_mean(jnp.sum(rel * rel, -1), batch.mask))
+    rel = rel / jnp.maximum(L, 1e-9)
+    J = jnp.concatenate([jnp.cross(rel, normals), normals], axis=-1)  # [N, 6]
+    J = jnp.where(batch.mask[:, None], J, 0.0)
+    C = J.T @ J
+    w, V = jnp.linalg.eigh(C)
+    # Weight each point by its alignment with the 3 weakest eigenvectors,
+    # inversely scaled by their eigenvalues.
+    a = jnp.abs(J @ V[:, :3])  # [N, 3]
+    inv = 1.0 / jnp.sqrt(jnp.maximum(w[:3], 1e-9))
+    scores = jnp.sum(a * inv[None, :], axis=-1)
+    scores = jnp.where(batch.mask, scores, -jnp.inf)
+    order = jnp.argsort(-scores)
+    rank = jnp.zeros((batch.capacity,), jnp.int32).at[order].set(
+        jnp.arange(batch.capacity, dtype=jnp.int32)
+    )
+    return batch.with_mask(batch.mask & (rank < target_count))
+
+
+def remove_sensor_bias(batch: PointBatch, k0: float = 0.03, k1: float = 0.0005) -> PointBatch:
+    """RemoveSensorBiasDataPointsFilter: push points back along the viewing
+    ray to compensate the incidence-angle range bias of LiDARs (Laconte et
+    al. 2019 model, reduced to its dominant incidence term:
+    ``dr = k0 * (1/cos(angle) - 1) + k1 * r``). Needs ``incidenceAngles``
+    (see :func:`incidence_angle`); sensor at the origin."""
+    ang = batch.extras["incidenceAngles"][..., 0]
+    r = jnp.linalg.norm(batch.xyz, axis=-1)
+    dr = k0 * (1.0 / jnp.maximum(jnp.cos(ang), 0.2) - 1.0) + k1 * r
+    scale = jnp.maximum(r - dr, 0.0) / jnp.maximum(r, 1e-9)
+    xyz = batch.xyz * scale[:, None]
+    import dataclasses as _dc
+
+    return _dc.replace(batch, xyz=jnp.where(batch.mask[:, None], xyz, batch.xyz))
+
+
+def hidden_point_removal(points: "np.ndarray", viewpoint, param: float = 3.0) -> "np.ndarray":
+    """HiddenPointRemovalDataPointsFilter (Katz et al. spherical flip +
+    convex hull). Host-side (scipy hull), like the reference's CPU path.
+    Returns a boolean keep-mask over ``points [n, 3]`` numpy."""
+    import numpy as np
+    from scipy.spatial import ConvexHull
+
+    vp = np.asarray(viewpoint, np.float64)
+    p = np.asarray(points, np.float64) - vp
+    norm = np.linalg.norm(p, axis=1, keepdims=True)
+    R = norm.max() * (10.0 ** param)
+    flipped = p + 2 * (R - norm) * (p / np.maximum(norm, 1e-12))
+    pts = np.vstack([flipped, np.zeros((1, 3))])
+    hull = ConvexHull(pts)
+    keep = np.zeros(len(p), dtype=bool)
+    vis = hull.vertices[hull.vertices < len(p)]
+    keep[vis] = True
+    return keep

@@ -152,3 +152,64 @@ def test_observation_direction(rng):
     b = pc.from_points(pts)
     out = filters.observation_direction(b)
     np.testing.assert_allclose(np.asarray(out.extras["observationDirections"]), [[-1, 0, 0]], atol=1e-6)
+
+
+def test_max_density(rng):
+    # Dense cluster + sparse region: the cluster must be thinned.
+    import jax
+    dense = rng.uniform(0, 0.5, (1500, 3)).astype(np.float32)
+    sparse = rng.uniform(5, 15, (300, 3)).astype(np.float32)
+    b = pc.from_points(np.vstack([dense, sparse]))
+    out = filters.max_density(b, jax.random.key(0), max_dens=500.0)
+    kept = np.asarray(out.mask)
+    assert kept[:1500].mean() < 0.7
+    assert kept[1500:].mean() > 0.9
+
+
+def test_normal_space_sampling(rng):
+    import jax
+    n = 2000
+    normals = rng.normal(size=(n, 3)).astype(np.float32)
+    # Bias: 80% pointing +z.
+    normals[: int(n * 0.8)] = [0, 0, 1.0]
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    b = pc.from_points(rng.normal(size=(n, 3)).astype(np.float32), extras={"normals": normals})
+    out = filters.normal_space_sampling(b, jax.random.key(0), target_count=256)
+    kept = np.asarray(out.mask)
+    frac_up = kept[: int(n * 0.8)].sum() / max(kept.sum(), 1)
+    # The +z bin is capped at its quota => far below 80%.
+    assert frac_up < 0.3, frac_up
+
+
+def test_covariance_sampling(rng):
+    pts = rng.uniform(-2, 2, (800, 3)).astype(np.float32)
+    normals = rng.normal(size=(800, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    b = pc.from_points(pts, extras={"normals": normals})
+    out = filters.covariance_sampling(b, target_count=200)
+    assert int(out.count()) == 200
+
+
+def test_remove_sensor_bias(rng):
+    pts = np.array([[10.0, 0, 0.0]], np.float32)
+    b = pc.from_points(pts, extras={"normals": np.array([[-1.0, 0, 0]], np.float32)})
+    b = filters.incidence_angle(b)
+    out = filters.remove_sensor_bias(b, k0=0.05, k1=0.001)
+    r = float(np.linalg.norm(np.asarray(out.xyz)[0]))
+    assert r < 10.0 and r > 9.9
+
+
+def test_hidden_point_removal(rng):
+    # Two concentric spheres: from the center-ish viewpoint outside, the far
+    # hemisphere of the inner sphere is hidden.
+    import numpy as np
+    ang = rng.uniform(0, 2 * np.pi, 500)
+    el = rng.uniform(-np.pi / 2, np.pi / 2, 500)
+    def sphere(r):
+        return np.c_[r * np.cos(el) * np.cos(ang), r * np.cos(el) * np.sin(ang), r * np.sin(el)]
+    pts = sphere(1.0).astype(np.float32)
+    keep = filters.hidden_point_removal(pts, viewpoint=[5.0, 0, 0], param=2.0)
+    vis_frac_front = keep[pts[:, 0] > 0.3].mean()
+    vis_frac_back = keep[pts[:, 0] < -0.3].mean()
+    assert vis_frac_front > 0.6
+    assert vis_frac_back < 0.2
