@@ -341,3 +341,31 @@ def test_candidate_cached_with_good_prior_is_exact(rng):
     np.testing.assert_allclose(
         np.asarray(res_c.transform), np.asarray(res_e.transform), atol=2e-4
     )
+
+
+def test_inspector_trace_and_dump(rng, tmp_path):
+    from open3d_slam_private_tpu.models import inspector
+
+    ref_pts = make_surface_cloud(rng, 900)
+    ref_b = with_normals(ref_pts)
+    T_true = small_transform()
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    reading = pc.from_points(reading_pts)
+    ref = icp_mod.build_reference(ref_b, BASE_CFG)
+    trace = inspector.trace_icp(reading, ref, jnp.eye(4), BASE_CFG, iterations=12)
+    assert trace.transforms.shape == (12, 4, 4)
+    res = np.asarray(trace.residuals)
+    assert res[-1] < res[0]  # optimization actually descends
+    # Deltas shrink towards convergence.
+    assert np.asarray(trace.delta_trans)[-1] < np.asarray(trace.delta_trans)[0]
+    path = inspector.dump_trace(trace, reading, ref, str(tmp_path / "dump"), every=4)
+    import json, os
+    stats = json.load(open(path))
+    assert stats["iterations"] == 12
+    assert os.path.exists(tmp_path / "dump" / "reading_iter_000.ply")
+    assert os.path.exists(tmp_path / "dump" / "reference.ply")
+
+    pi = inspector.PerformanceInspector()
+    pi.add_trace(trace)
+    s = pi.summary()
+    assert s["IterationsCount"]["last"] == 12

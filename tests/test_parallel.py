@@ -69,3 +69,53 @@ def test_point_sharded_grid_matcher(rng):
     res = register_point_sharded(mesh, reading, ref, jnp.eye(4), cfg)
     rot_err, trans_err = pose_error(np.asarray(res.transform), T_true)
     assert trans_err < 2e-3
+
+
+def test_pose_graph_edge_sharded_matches_single(rng):
+    """Multi-host pose-graph GN: edges sharded over the mesh, (H, g)
+    psum-reduced — must match the single-device optimization."""
+    import dataclasses
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from open3d_slam_private_tpu.slam import pose_graph as pg
+    from tests.test_pose_graph import T_of, relative
+
+    n = 9
+    gt = [np.eye(4, dtype=np.float32)]
+    step = T_of([0, 0, 0, 1, 0, 0])
+    turn = T_of([0, 0, np.pi / 2, 1, 0, 0])
+    for i in range(1, n):
+        gt.append((gt[-1] @ (turn if i % 2 == 0 else step)).astype(np.float32))
+    drift = T_of([0, 0, 0.02, 0.02, 0, 0])
+    builder = pg.PoseGraphBuilder(node_capacity=16, edge_capacity=16)
+    est = [np.eye(4, dtype=np.float32)]
+    for i in range(1, n):
+        m = (relative(gt[i - 1], gt[i]) @ drift).astype(np.float32)
+        est.append((est[-1] @ m).astype(np.float32))
+    for p in est:
+        builder.add_node(p)
+    for i in range(1, n):
+        builder.add_edge(i - 1, i, relative(gt[i - 1], gt[i]) @ drift)
+    builder.add_edge(n - 1, 0, relative(gt[n - 1], gt[0]), is_loop=True)
+    graph = builder.build()
+
+    cfg = pg.PoseGraphConfig(iterations=10)
+    single = pg.optimize(graph, cfg)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("edges",))
+    edge_spec = pg.PoseGraph(
+        poses=P(), node_mask=P(),
+        edge_i=P("edges"), edge_j=P("edges"), edge_T=P("edges"),
+        edge_info=P("edges"), edge_is_loop=P("edges"), edge_mask=P("edges"),
+    )
+
+    @jax.jit
+    @jax.shard_map(mesh=mesh, in_specs=(edge_spec,), out_specs=P(), check_vma=False)
+    def run(g):
+        out = pg.optimize(g, cfg, axis_name="edges")
+        return out.poses
+
+    poses_sharded = run(graph)
+    np.testing.assert_allclose(
+        np.asarray(poses_sharded), np.asarray(single.poses), atol=1e-4
+    )

@@ -165,3 +165,70 @@ class TestSubmap:
         after = np.asarray(sm2.cloud.xyz)[np.asarray(sm2.cloud.mask)]
         Tnp = np.asarray(T)
         np.testing.assert_allclose(after, before @ Tnp[:3, :3].T + Tnp[:3, 3], atol=1e-4)
+
+
+class TestCloudRegistrationFacade:
+    def test_all_types_register(self, rng):
+        import sys
+        sys.path.insert(0, '/root/repo/tests')
+        from test_icp import make_surface_cloud, small_transform, pose_error
+        from open3d_slam_private_tpu.models.cloud_registration import (
+            CloudRegistrationConfig, register_clouds,
+        )
+        ref_pts = make_surface_cloud(rng, 1200)
+        T_true = small_transform(0.02, 0.06)
+        read_pts = np.asarray(
+            se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts))
+        )
+        for rt in ("PointToPointIcp", "PointToPlaneIcp", "GeneralizedIcp"):
+            cfg = CloudRegistrationConfig(
+                registration_type=rt, max_correspondence_dist=0.5, max_iterations=25,
+                icp_overrides={"grid_table_size": 1 << 13, "grid_bucket_cap": 48,
+                               "trimmed_ratio": 0.9},
+            )
+            res = register_clouds(
+                pc.from_points(read_pts), pc.from_points(ref_pts), None, cfg
+            )
+            rot_err, trans_err = pose_error(np.asarray(res.transform), T_true)
+            assert trans_err < 8e-3, (rt, trans_err)
+
+    def test_unknown_type_raises(self):
+        from open3d_slam_private_tpu.models.cloud_registration import (
+            CloudRegistrationConfig,
+        )
+        import pytest
+        with pytest.raises(ValueError):
+            CloudRegistrationConfig(registration_type="MagicIcp").icp_config()
+
+
+class TestConstraintBuilders:
+    def test_odometry_constraints(self, rng):
+        from open3d_slam_private_tpu.slam.constraint_builders import (
+            build_odometry_constraints, overlap_fraction,
+        )
+        from open3d_slam_private_tpu.slam.submap_collection import (
+            SubmapCollection, SubmapCollectionConfig,
+        )
+        coll = SubmapCollection(SubmapCollectionConfig(
+            submap_capacity=8192, creation_radius=4.0, activation_radius=3.0,
+            min_scans_before_switch=1,
+        ))
+        world = rng.uniform(-5, 15, (20000, 3)).astype(np.float32)
+        for i in range(8):
+            pose = np.eye(4); pose[0, 3] = i * 1.5
+            local = world - pose[:3, 3]
+            near = local[np.linalg.norm(local, axis=1) < 8][:4000]
+            coll.insert_scan(pc.from_points(near.astype(np.float32), capacity=4096), pose, pose)
+        cons = build_odometry_constraints(coll, refine=False)
+        assert len(cons) == len(coll) - 1
+        for c in cons:
+            # anchors are along +x at multiples of the creation radius
+            assert c.T_parent_child[0, 3] > 0
+
+    def test_overlap_fraction(self, rng):
+        from open3d_slam_private_tpu.slam.constraint_builders import overlap_fraction
+        a = pc.from_points(rng.uniform(0, 2, (500, 3)).astype(np.float32))
+        b_same = pc.from_points(rng.uniform(0, 2, (800, 3)).astype(np.float32))
+        b_far = pc.from_points((rng.uniform(0, 2, (800, 3)) + 50).astype(np.float32))
+        assert overlap_fraction(a, b_same, 0.5) > 0.9
+        assert overlap_fraction(a, b_far, 0.5) < 0.05
