@@ -284,7 +284,8 @@ def icp_config_from_dict(doc: dict, matcher_backend: str = "grid") -> icp_mod.IC
             kw["min_diff_trans"] = float(p.get("minDiffTransErr", 0.001))
             kw["smooth_length"] = int(p.get("smoothLength", 3))
         elif name == "BoundTransformationChecker":
-            pass  # bound aborts are reported via result status instead
+            kw["max_rotation_norm"] = float(p.get("maxRotationNorm", math.inf))
+            kw["max_translation_norm"] = float(p.get("maxTranslationNorm", math.inf))
         else:
             raise KeyError(f"unknown transformationChecker {name}")
 

@@ -75,6 +75,10 @@ class ICPConfig:
     min_diff_rot: float = 1e-3  # rad, smoothed
     min_diff_trans: float = 1e-3  # m, smoothed
     smooth_length: int = 3
+    # BoundTransformationChecker: abort (freeze + flag) when the accumulated
+    # correction leaves these bounds; inf disables.
+    max_rotation_norm: float = jnp.inf  # rad from the initial guess
+    max_translation_norm: float = jnp.inf  # m from the initial guess
 
     # Coarse-to-fine schedule (TPU throughput lever with no reference
     # analogue — the reference pays full resolution every iteration): run up
@@ -118,6 +122,7 @@ class ICPResult:
     localizability_rot: jax.Array  # [3] 1 = localizable
     localizability_trans: jax.Array  # [3]
     degenerate: jax.Array  # bool, any direction constrained/suppressed
+    aborted: jax.Array  # bool, BoundTransformationChecker fired
 
 
 @jax.tree_util.register_dataclass
@@ -331,6 +336,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
         overlap=jnp.asarray(0.0, dtype),
         resid=jnp.asarray(0.0, dtype),
         converged=jnp.asarray(False),
+        aborted=jnp.asarray(False),
     )
 
     def cond(s):
@@ -347,17 +353,27 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
         mean_rot = jnp.mean(drot)
         mean_trans = jnp.mean(dtrans)
         converged = (mean_rot < cfg.min_diff_rot) & (mean_trans < cfg.min_diff_trans)
+        # BoundTransformationChecker: accumulated correction vs T0.
+        tot_rot = se3.rotation_angular_distance(T_new[:3, :3], T0[:3, :3])
+        tot_trans = jnp.linalg.norm(T_new[:3, 3] - T0[:3, 3])
+        aborted = s["aborted"] | (tot_rot > cfg.max_rotation_norm) | (
+            tot_trans > cfg.max_translation_norm
+        )
+        # On abort the reference throws and the caller keeps the prior:
+        # freeze at T0 and stop iterating.
+        T_new = jnp.where(aborted, T0, T_new)
         return dict(
             T=T_new,
             it=s["it"] + 1,
-            done=converged,
+            done=converged | aborted,
             drot=drot,
             dtrans=dtrans,
             loc=loc,
             match_ratio=match_ratio,
             overlap=overlap,
             resid=resid,
-            converged=converged,
+            converged=converged & ~aborted,
+            aborted=aborted,
         )
 
     if cfg.candidate_refresh_every > 0 and cfg.matcher == "grid":
@@ -438,6 +454,7 @@ def icp_single(
         localizability_rot=loc.localizability_rot,
         localizability_trans=loc.localizability_trans,
         degenerate=degenerate,
+        aborted=final["aborted"],
     )
 
 

@@ -369,3 +369,23 @@ def test_inspector_trace_and_dump(rng, tmp_path):
     pi.add_trace(trace)
     s = pi.summary()
     assert s["IterationsCount"]["last"] == 12
+
+
+def test_bound_checker_aborts_runaway(rng):
+    """A mostly-unconstrained problem that would slide far gets frozen at
+    the prior when the bound checker fires (≙ BoundTransformationChecker:
+    abort => ICP returns the initial guess)."""
+    ref_pts = corridor_cloud(rng)
+    ref = with_normals(ref_pts)
+    T_true = se3.exp_se3(jnp.asarray([0, 0, 0, 1.5, 0, 0], jnp.float32))
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    cfg = icp_mod.ICPConfig(**{**BASE_CFG.__dict__, "max_match_dist": 2.0,
+                               "max_translation_norm": 0.2})
+    res = icp_mod.register_pair(pc.from_points(reading_pts), ref, jnp.eye(4), cfg)
+    T = np.asarray(res.transform)
+    assert bool(res.aborted)
+    np.testing.assert_allclose(T, np.eye(4), atol=1e-5)  # prior returned
+    # Without the bound it is free to move.
+    cfg2 = icp_mod.ICPConfig(**{**BASE_CFG.__dict__, "max_match_dist": 2.0})
+    res2 = icp_mod.register_pair(pc.from_points(reading_pts), ref, jnp.eye(4), cfg2)
+    assert not bool(res2.aborted)
