@@ -153,3 +153,44 @@ def estimate_normals_grid(
     xyz = batch.padded_xyz()
     res = grid_hash.grid_match(grid, xyz, batch.mask, k=knn, max_dist=max_dist)
     return _normals_from_neighbors(batch, res.xyz, res.valid(), orient_towards, return_eigen)
+
+
+@functools.partial(jax.jit, static_argnames=("stride",))
+def estimate_normals_organized(
+    range_image_xyz: jax.Array,
+    valid: jax.Array,
+    orient_towards=None,
+    stride: int = 1,
+) -> jax.Array:
+    """Normals for ORGANIZED clouds (range images) via cross products of
+    image-neighbour differences — the O(1)-per-point path the reference
+    implements in ``OrganizedCloudSurfaceNormalDataPointsFilter``.
+
+    ``range_image_xyz [H, W, 3]``, ``valid [H, W]``. Returns normals
+    ``[H, W, 3]`` (zeros where undefined). No KNN at all: pure shifts.
+    """
+    x = range_image_xyz
+    # Central differences with edge replication (shift via roll + edge fix).
+    right = jnp.roll(x, -stride, axis=1)
+    left = jnp.roll(x, stride, axis=1)
+    down = jnp.roll(x, -stride, axis=0)
+    up = jnp.roll(x, stride, axis=0)
+    du = right - left
+    dv = down - up
+    n = jnp.cross(du, dv)
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.maximum(nn, 1e-12)
+
+    v_ok = (
+        valid
+        & jnp.roll(valid, -stride, axis=1)
+        & jnp.roll(valid, stride, axis=1)
+        & jnp.roll(valid, -stride, axis=0)
+        & jnp.roll(valid, stride, axis=0)
+        & (nn[..., 0] > 1e-12)
+    )
+    if orient_towards is not None:
+        to_vp = jnp.asarray(orient_towards, x.dtype) - x
+        flip = jnp.sum(n * to_vp, axis=-1, keepdims=True) < 0
+        n = jnp.where(flip, -n, n)
+    return jnp.where(v_ok[..., None], n, 0.0)

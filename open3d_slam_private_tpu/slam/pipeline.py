@@ -71,6 +71,7 @@ class SlamPipeline:
         self._prev_odom_pose: Optional[np.ndarray] = None
         self._ref = None
         self._ref_submap_idx = -1
+        self._ref_center = None
         self._scans_since_reinit = 0
         self._last_insert_pose: Optional[np.ndarray] = None
         self._initialized = False
@@ -180,6 +181,7 @@ class SlamPipeline:
             active.state.cloud, jnp.asarray(center, jnp.float32), self.cfg.mapper
         )
         self._ref_submap_idx = self.submaps.active_idx
+        self._ref_center = np.asarray(center, np.float64).copy()
         self._scans_since_reinit = 0
 
     # ------------------------------------------------------------------
@@ -256,6 +258,44 @@ class SlamPipeline:
     def set_initial_transform(self, T: np.ndarray) -> None:
         """≙ ``SlamWrapper::setInitialTransform`` (map initializer output)."""
         self._map_pose = np.asarray(T, np.float64).copy()
+
+    def relocalize(
+        self,
+        scan: pc.PointBatch,
+        hint_pose: Optional[np.ndarray] = None,
+        search_radius: float = 10.0,
+    ) -> Optional[np.ndarray]:
+        """Global (re)localization of a scan against the current map —
+        the programmatic ``SlamMapInitializer``: FPFH-RANSAC coarse
+        alignment when features carry, otherwise a batched yaw/translation
+        hypothesis sweep around ``hint_pose`` (identity if None), refined
+        and gated like a loop closure. Sets the live pose on success."""
+        mcfg = self.cfg.mapper
+        prcfg = self.cfg.place_recognition
+        processed = process_scan_for_matching(scan, mcfg)
+        map_pts = self.assembled_map()
+        if len(map_pts) == 0:
+            return None
+        target = pc.from_points(
+            map_pts, capacity=max(1 << int(np.ceil(np.log2(max(len(map_pts), 2)))), 1024)
+        )
+        hint = np.eye(4) if hint_pose is None else np.asarray(hint_pose, np.float64)
+        prcfg = dataclasses.replace(
+            prcfg, num_xy_offsets=5, xy_offset=search_radius / 2.0
+        )
+        got = pr.verify_candidate(processed, target, hint, prcfg)
+        if got is None:
+            return None
+        T, overlap, residual = got
+        # Final polish at the mapper's tight matching radius.
+        self._map_pose = T
+        self._ref_submap_idx = -1  # force reference rebuild near the new pose
+        self._initialized = True
+        self._rebuild_reference(center=T[:3, 3])
+        res = scan_to_map_step(processed, self._ref, jnp.asarray(T, jnp.float32), mcfg)
+        if bool(jnp.all(jnp.isfinite(res.transform))) and float(res.overlap_ratio) > 0.2:
+            self._map_pose = np.asarray(res.transform, np.float64)
+        return self._map_pose.copy()
 
 
 class OnlineSlamRunner:

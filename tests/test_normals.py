@@ -93,3 +93,26 @@ def test_normals_masked_points_zero(rng):
     got = np.asarray(out.normals)
     assert np.all(got[50:] == 0)
     assert np.all(np.abs(np.linalg.norm(got[:50], axis=-1) - 1.0) < 1e-3)
+
+
+def test_organized_normals_plane(rng):
+    # Range image of a tilted plane z = 0.2x + 0.1y + 2.
+    H, W = 32, 64
+    u, v = np.meshgrid(np.linspace(-2, 2, W), np.linspace(-1, 1, H))
+    xyz = np.stack([u, v, 0.2 * u + 0.1 * v + 2.0], axis=-1).astype(np.float32)
+    valid = np.ones((H, W), bool)
+    n = np.asarray(normals.estimate_normals_organized(jnp.asarray(xyz), jnp.asarray(valid)))
+    expected = np.array([-0.2, -0.1, 1.0]); expected /= np.linalg.norm(expected)
+    inner = n[2:-2, 2:-2].reshape(-1, 3)
+    dots = np.abs(inner @ expected)
+    assert np.mean(dots > 0.999) > 0.99
+
+
+def test_organized_normals_invalid_holes(rng):
+    H, W = 16, 16
+    xyz = rng.normal(size=(H, W, 3)).astype(np.float32)
+    valid = np.ones((H, W), bool)
+    valid[5, 5] = False
+    n = np.asarray(normals.estimate_normals_organized(jnp.asarray(xyz), jnp.asarray(valid)))
+    # Neighbourhood of the hole has zero normals.
+    assert np.all(n[5, 4] == 0) and np.all(n[4, 5] == 0) and np.all(n[5, 5] == 0)

@@ -187,3 +187,69 @@ def test_loop_closure_fires_and_corrects(rng):
     assert total_lc >= 1, "no loop closure accepted on revisit"
     err = np.linalg.norm(pipe.pose[:3, 3] - poses[-1][:3, 3])
     assert err < 0.5, err
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_bitexact(rng, tmp_path):
+    """Save mid-run, restore into a fresh pipeline, continue: the resumed
+    run must track the uninterrupted run exactly."""
+    from open3d_slam_private_tpu.slam import checkpoint
+
+    world = make_world(rng)
+    cfg = small_config()
+    cfg = dataclasses.replace(cfg, use_external_odometry=True)
+    poses = square_trajectory(6.0, 5)[:10]
+    scans = [pc.from_points(scan_at(world, tp, 3000, seed=i), capacity=4096) for i, tp in enumerate(poses)]
+
+    # Uninterrupted run.
+    full = SlamPipeline(cfg)
+    for i, (tp, sc) in enumerate(zip(poses, scans)):
+        full.process_scan(sc, time=0.1 * i, external_odom_pose=tp)
+
+    # Interrupted at scan 5 + checkpoint + resume.
+    a = SlamPipeline(cfg)
+    for i in range(5):
+        a.process_scan(scans[i], time=0.1 * i, external_odom_pose=poses[i])
+    ckpt = tmp_path / "state.npz"
+    checkpoint.save_pipeline(a, str(ckpt))
+
+    b = SlamPipeline(cfg)
+    checkpoint.load_pipeline(b, str(ckpt))
+    for i in range(5, 10):
+        b.process_scan(scans[i], time=0.1 * i, external_odom_pose=poses[i])
+
+    np.testing.assert_allclose(b.pose, full.pose, atol=1e-9)
+    assert len(b.submaps) == len(full.submaps)
+
+    # Map artifacts.
+    out = tmp_path / "artifacts"
+    checkpoint.save_map_artifacts(b, str(out))
+    import json, os
+    assert os.path.exists(out / "map.ply")
+    g = json.load(open(out / "pose_graph.json"))
+    assert len(g["nodes"]) == len(b.submaps)
+
+
+@pytest.mark.slow
+def test_relocalize_on_built_map(rng):
+    """Kidnapped-robot: relocalize a scan on the built map with only a
+    coarse hint (the SlamMapInitializer workflow)."""
+    world = make_world(rng)
+    cfg = dataclasses.replace(small_config(), use_external_odometry=True)
+    pipe = SlamPipeline(cfg)
+    poses = square_trajectory(10.0, 8)[:16]
+    for i, tp in enumerate(poses):
+        scan = pc.from_points(scan_at(world, tp, 5000, seed=i), capacity=8192)
+        pipe.process_scan(scan, time=0.1 * i, external_odom_pose=tp)
+
+    # Kidnap: true pose somewhere along the traversed path; hint 3m off.
+    true_pose = poses[6].copy()
+    scan = pc.from_points(scan_at(world, true_pose, 5000, seed=99), capacity=8192)
+    hint = true_pose.copy()
+    hint[0, 3] += 3.0
+    hint[1, 3] -= 2.0
+    T = pipe.relocalize(scan, hint_pose=hint, search_radius=8.0)
+    assert T is not None, "relocalization failed"
+    err = np.linalg.norm(T[:3, 3] - true_pose[:3, 3])
+    assert err < 0.3, err
+    np.testing.assert_allclose(pipe.pose, T)
