@@ -165,6 +165,32 @@ def main():
         lats.append(time.perf_counter() - t0 - rt)
     p50_ms = float(np.median(lats) * 1e3)
 
+    # 4096-hypothesis relocalization burst (BASELINE config): one 512-pt
+    # skeleton scan, 4096 vmapped initial poses against the same submap.
+    import dataclasses as _dc
+
+    H, NH = 4096, 512
+    hyp_cfg = _dc.replace(cfg, coarse_iterations=0, candidate_refresh_every=0,
+                          max_iterations=12)
+    skel = pc.from_points(sample_scan(scene, NH, se3.transform_inverse(jnp.eye(4)), seed=99),
+                          capacity=NH)
+    rngh = np.random.default_rng(5)
+    twists = np.c_[rngh.uniform(-0.1, 0.1, (H, 3)), rngh.uniform(-2, 2, (H, 3))].astype(np.float32)
+    seeds = np.asarray(jax.vmap(se3.exp_se3)(jnp.asarray(twists)))
+
+    @jax.jit
+    def hyp_round(Ts):
+        res = jax.vmap(lambda T: icp_mod.icp_single(skel, ref, T, hyp_cfg))(Ts)
+        return res.transform, res.residual
+
+    Ts_h, _ = hyp_round(jnp.asarray(seeds))
+    sync(Ts_h)
+    t0 = time.perf_counter()
+    Ts_h, resid_h = hyp_round(Ts_h)
+    sync(Ts_h)
+    hyp_dt = time.perf_counter() - t0 - rt
+    hyps_per_s = H / hyp_dt
+
     baseline_per_chip = 250.0  # 2000/s on 8 chips
     print(
         json.dumps(
@@ -182,6 +208,7 @@ def main():
                     "map_points": int(jnp.sum(submap.mask)),
                     "max_trans_err_m": round(max_trans_err, 5),
                     "mean_iterations": round(mean_iters, 1),
+                    "relocalization_hypotheses_per_s": round(hyps_per_s, 0),
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -123,6 +123,9 @@ class ICPResult:
     localizability_trans: jax.Array  # [3]
     degenerate: jax.Array  # bool, any direction constrained/suppressed
     aborted: jax.Array  # bool, BoundTransformationChecker fired
+    # 6x6 covariance of the estimate (Censi-style sensor-noise model reduced
+    # to sigma^2 (J^T J)^-1 — the WithCov minimizers' output).
+    covariance: jax.Array  # [6, 6]
 
 
 @jax.tree_util.register_dataclass
@@ -260,6 +263,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
     n_valid = jnp.maximum(_allsum(reading.count().astype(dtype)), 1.0)
 
     def gn_update(T, src, res):
+        A_out = jnp.zeros((6, 6), src.dtype)
         q = res.xyz.reshape(-1, 3)
         mn = res.normals.reshape(-1, 3)
         w = _weights(res, reading, mn, cfg)
@@ -282,6 +286,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                 src_flat, src_n_flat, q, mn, w, epsilon=cfg.gicp_epsilon
             )
             A, b = _allsum(A), _allsum(b)
+            A_out = A
             x = minimizers.solve_normal_equations(A, b)
             loc = xicp._identity_result(dtype)
             w6, _ = jnp.linalg.eigh(A)
@@ -307,6 +312,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             else:
                 A, b = minimizers.point_to_plane_normal_equations(src_flat, q, mn, w)
                 A, b = _allsum(A), _allsum(b)
+                A_out = A
                 ddn = jnp.sum((src_flat - q) * mn, axis=-1)
                 x, loc = _solve(A, b, src_flat, mn, ddn, pair_mask & (w > 0), cfg)
                 dT = minimizers.delta_transform_from_x(x)
@@ -317,7 +323,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
 
         match_ratio = _allsum(jnp.sum(pair_mask.astype(dtype))) / (n_valid * cfg.knn)
         overlap = _allsum(jnp.sum((w > 0).astype(dtype))) / (n_valid * cfg.knn)
-        return dT, loc, match_ratio, overlap, resid
+        return dT, loc, match_ratio, overlap, resid, A_out
 
     def one_iteration(T):
         src = se3.apply_transform(T, reading.xyz)
@@ -337,13 +343,14 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
         resid=jnp.asarray(0.0, dtype),
         converged=jnp.asarray(False),
         aborted=jnp.asarray(False),
+        A=jnp.zeros((6, 6), dtype),
     )
 
     def cond(s):
         return (s["it"] < max_iterations) & ~s["done"]
 
     def advance(s, step_out):
-        dT, loc, match_ratio, overlap, resid = step_out
+        dT, loc, match_ratio, overlap, resid, A_out = step_out
         T_new = dT @ s["T"]
         # Differential checker deltas between consecutive transforms.
         dr = se3.rotation_angular_distance(T_new[:3, :3], s["T"][:3, :3])
@@ -374,6 +381,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             resid=resid,
             converged=converged & ~aborted,
             aborted=aborted,
+            A=A_out,
         )
 
     if cfg.candidate_refresh_every > 0 and cfg.matcher == "grid":
@@ -442,6 +450,11 @@ def icp_single(
     degenerate = (jnp.min(loc.localizability_rot) < 0.5) | (
         jnp.min(loc.localizability_trans) < 0.5
     )
+    # sigma^2 (J^T J)^-1 with sigma = final weighted residual RMS (the
+    # WithCov minimizers' covariance, PointToPlaneWithCov/PointToPointWithCov).
+    w6, V6 = jnp.linalg.eigh(final["A"])
+    inv = jnp.where(jnp.abs(w6) > 1e-7 * jnp.max(jnp.abs(w6)), 1.0 / w6, 0.0)
+    cov = (V6 * inv[None, :]) @ V6.T * jnp.maximum(final["resid"], 1e-6) ** 2
     return ICPResult(
         transform=T_out,
         iterations=final["it"],
@@ -455,6 +468,7 @@ def icp_single(
         localizability_trans=loc.localizability_trans,
         degenerate=degenerate,
         aborted=final["aborted"],
+        covariance=cov,
     )
 
 
@@ -497,3 +511,34 @@ def register_hypotheses(
     serial loop over RANSAC seeds in ``PlaceRecognition.cpp``)."""
     ref = build_reference(reference, cfg)
     return jax.vmap(lambda T: icp_single(reading, ref, T, cfg))(init_Ts)
+
+
+class ICPSequence:
+    """Persistent-reference ICP object (≙ ``ICPSequence``,
+    ``ICP.cpp:1356-1510``): set a map once (the expensive build), then
+    register a stream of readings against it.
+
+    Thin stateful wrapper over :func:`build_reference` + :func:`icp_single`
+    for users porting reference code; new code can use those directly.
+    """
+
+    def __init__(self, cfg: ICPConfig):
+        self.cfg = cfg
+        self._ref: Optional[ICPReference] = None
+
+    def has_map(self) -> bool:
+        return self._ref is not None
+
+    def set_map(self, reference: PointBatch) -> None:
+        """≙ ``setMap`` / ``initReference`` — builds normals grid etc."""
+        self._ref = build_reference(reference, self.cfg)
+
+    def clear_map(self) -> None:
+        self._ref = None
+
+    def __call__(self, reading: PointBatch, init_T=None) -> ICPResult:
+        if self._ref is None:
+            raise RuntimeError("ICPSequence: no map set (call set_map first)")
+        if init_T is None:
+            init_T = jnp.eye(4)
+        return icp_single(reading, self._ref, init_T, self.cfg)

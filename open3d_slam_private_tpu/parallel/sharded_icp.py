@@ -99,4 +99,5 @@ def _result_structure():
         transform=z, iterations=z, converged=z, match_ratio=z,
         overlap_ratio=z, residual=z, eigenvalues=z, condition_number=z,
         localizability_rot=z, localizability_trans=z, degenerate=z, aborted=z,
+        covariance=z,
     )

@@ -61,9 +61,13 @@ class MapperConfig:
             grid_bucket_cap=48,
             trimmed_ratio=0.9,
             minimizer="point_to_plane",
-            max_iterations=30,
+            max_iterations=10,
             min_diff_rot=1e-3,
             min_diff_trans=8e-3,
+            coarse_iterations=20,
+            coarse_stride=4,
+            candidate_refresh_every=5,
+            candidate_slack=0.25,
             degeneracy=DegeneracyConfig(method="none"),
         )
     )

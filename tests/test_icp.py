@@ -389,3 +389,40 @@ def test_bound_checker_aborts_runaway(rng):
     cfg2 = icp_mod.ICPConfig(**{**BASE_CFG.__dict__, "max_match_dist": 2.0})
     res2 = icp_mod.register_pair(pc.from_points(reading_pts), ref, jnp.eye(4), cfg2)
     assert not bool(res2.aborted)
+
+
+def test_covariance_shape_and_scale(rng):
+    ref_pts = make_surface_cloud(rng)
+    ref = with_normals(ref_pts)
+    T_true = small_transform()
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    res = icp_mod.register_pair(pc.from_points(reading_pts), ref, jnp.eye(4), BASE_CFG)
+    C = np.asarray(res.covariance)
+    assert C.shape == (6, 6)
+    assert np.all(np.isfinite(C))
+    # Symmetric PSD-ish, and small for a well-constrained low-noise problem.
+    np.testing.assert_allclose(C, C.T, atol=1e-8)
+    assert np.all(np.diag(C) >= 0)
+    assert np.all(np.diag(C) < 1e-3)
+
+
+def test_icp_sequence_api(rng):
+    ref_pts = make_surface_cloud(rng, 900)
+    ref = with_normals(ref_pts)
+    seq = icp_mod.ICPSequence(BASE_CFG)
+    assert not seq.has_map()
+    import pytest as _pt
+    with _pt.raises(RuntimeError):
+        seq(pc.from_points(ref_pts))
+    seq.set_map(ref)
+    assert seq.has_map()
+    T_true = small_transform(0.02, 0.05)
+    for i in range(3):  # stream of readings against the same map
+        reading_pts = np.asarray(
+            se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts))
+        ) + rng.normal(size=(len(ref_pts), 3)).astype(np.float32) * 0.002
+        res = seq(pc.from_points(reading_pts))
+        rot_err, trans_err = pose_error(res.transform, T_true)
+        assert trans_err < 5e-3
+    seq.clear_map()
+    assert not seq.has_map()
