@@ -81,6 +81,8 @@ def main():
         coarse_stride=8,
         candidate_refresh_every=5,
         candidate_slack=0.25,
+        fast_trimming=True,
+        packed_payload=True,
     )
 
     # Build the submap: dense scene voxelized to 0.15 m with normals.

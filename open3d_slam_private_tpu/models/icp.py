@@ -52,9 +52,16 @@ class ICPConfig:
     # (points within match radius of a cell; ~40 for a 0.15 m-voxel map at
     # 0.5 m radius).
     grid_bucket_cap: int = 48
+    # 16-byte packed payloads (cell-frame u16 positions + octahedral
+    # normals): halves matcher/cache traffic at ~25 um / 1e-4 rad
+    # quantization. Exact 32-byte payloads when False.
+    packed_payload: bool = False
 
     # Outlier filters (≙ outlierFilters block).
     trimmed_ratio: Optional[float] = None  # TrimmedDistOutlierFilter ratio
+    # Histogram-based trimming threshold (O(N), resolution maxDist^2/256)
+    # instead of the exact nth-element sort — the jitted-loop fast path.
+    fast_trimming: bool = False
     normal_angle_max: Optional[float] = None  # SurfaceNormalOutlierFilter (rad)
     robust: Optional[str] = None  # cauchy|huber|gm|tukey|welsch|sc|l1|student
     robust_scale: float = 1.0  # tuning constant (metres); MAD if <= 0
@@ -161,7 +168,12 @@ def build_reference(reference: PointBatch, cfg: ICPConfig) -> ICPReference:
                 "2 * max_match_dist); use matcher='brute' for unbounded search"
             )
         slack = cfg.candidate_slack if cfg.candidate_refresh_every > 0 else 0.0
-        grid = cell_mod.build_cell_list(
+        build = (
+            cell_mod.build_cell_list_packed
+            if cfg.packed_payload
+            else cell_mod.build_cell_list
+        )
+        grid = build(
             centered.padded_xyz(),
             centered.mask,
             cfg.max_match_dist + slack,
@@ -175,6 +187,10 @@ def build_reference(reference: PointBatch, cfg: ICPConfig) -> ICPReference:
 def _match(src_xyz, src_mask, ref: ICPReference, cfg: ICPConfig) -> grid_mod.MatchResult:
     """Correspondences with inlined matched payloads (xyz + normals)."""
     if cfg.matcher == "grid":
+        if cfg.packed_payload:
+            return cell_mod.cell_match_packed(
+                ref.grid, src_xyz, src_mask, k=cfg.knn, max_dist=cfg.max_match_dist
+            )
         return cell_mod.cell_match(
             ref.grid, src_xyz, src_mask, k=cfg.knn, max_dist=cfg.max_match_dist
         )
@@ -205,6 +221,10 @@ def _weights(res, reading, matched_normals_flat, cfg: ICPConfig):
             v_all = jax.lax.all_gather(valid, cfg.shard_axis, tiled=True)
             limit = masked_quantile(d_all.reshape(-1), v_all.reshape(-1), cfg.trimmed_ratio)
             w = w * ((res.dists <= limit) & valid).astype(jnp.float32)
+        elif cfg.fast_trimming:
+            w = w * outliers.trimmed_dist_histogram(
+                res.dists, valid, cfg.trimmed_ratio, cfg.max_match_dist**2
+            )
         else:
             w = w * outliers.trimmed_dist(res.dists, valid, cfg.trimmed_ratio)
     if cfg.robust is not None:
@@ -400,13 +420,24 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
 
         def round_body(s, _):
             src0 = se3.apply_transform(s["T"], reading.xyz)
-            rows, valid = cell_mod.gather_cell_candidates(ref.grid, src0, reading.mask)
+            if cfg.packed_payload:
+                rows, valid, org = cell_mod.gather_packed_candidates(
+                    ref.grid, src0, reading.mask
+                )
+            else:
+                rows, valid = cell_mod.gather_cell_candidates(ref.grid, src0, reading.mask)
 
             def inner(si, _):
                 src = se3.apply_transform(si["T"], reading.xyz)
-                res = grid_mod.match_from_candidates(
-                    rows, valid, src, reading.mask, cfg.max_match_dist, cfg.knn
-                )
+                if cfg.packed_payload:
+                    res = cell_mod.match_from_packed(
+                        rows, valid, org, ref.grid.cell_size, src, reading.mask,
+                        cfg.max_match_dist, cfg.knn,
+                    )
+                else:
+                    res = grid_mod.match_from_candidates(
+                        rows, valid, src, reading.mask, cfg.max_match_dist, cfg.knn
+                    )
                 return masked(si, gn_update(si["T"], src, res)), None
 
             s, _ = jax.lax.scan(inner, s, None, length=R)

@@ -46,11 +46,20 @@ _IDX_CH = 3
 _NRM = slice(4, 7)
 
 
+def _fmix32(h: jax.Array) -> jax.Array:
+    """murmur3 finalizer: full avalanche so nearby cells decorrelate."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
 def _cell_hash(cell: jax.Array, table_size: int) -> jax.Array:
     """Hash ``[..., 3]`` int32 cell coords into ``[0, table_size)``."""
     c = cell.astype(jnp.uint32)
-    h = (c[..., 0] * _P1) ^ (c[..., 1] * _P2) ^ (c[..., 2] * _P3)
-    h = h ^ (h >> 16)
+    h = _fmix32(c[..., 0] * _P1 + c[..., 1] * _P2 + c[..., 2] * _P3)
     return (h % jnp.uint32(table_size)).astype(jnp.int32)
 
 

@@ -128,3 +128,30 @@ def mad_scale(dists: jax.Array, valid: jax.Array) -> jax.Array:
     med = _flat_quantile(e, valid, 0.5)
     mad = _flat_quantile(jnp.abs(e - med), valid, 0.5)
     return 1.4826 * mad
+
+
+def trimmed_dist_histogram(
+    dists: jax.Array, valid: jax.Array, ratio: float, max_d2, bins: int = 256
+) -> jax.Array:
+    """Sort-free TrimmedDist: the keep-threshold is located with a fixed
+    histogram over [0, max_d2] instead of an O(N log N) sort — O(N) VPU work,
+    threshold resolution max_d2/bins (points within one bin of the exact
+    quantile may flip). The production fast path for the jitted ICP loop;
+    the exact nth-element variant stays the default.
+    """
+    max_d2 = jnp.asarray(max_d2, dists.dtype)
+    d = dists.reshape(-1)
+    v = valid.reshape(-1)
+    idx = jnp.clip((d / max_d2 * bins).astype(jnp.int32), 0, bins - 1)
+    onehot_counts = jnp.zeros((bins + 1,), jnp.int32).at[
+        jnp.where(v, idx, bins)
+    ].add(1, mode="drop")
+    counts = onehot_counts[:bins]
+    csum = jnp.cumsum(counts)
+    total = jnp.maximum(csum[-1], 1)
+    target = (total.astype(dists.dtype) * ratio).astype(jnp.int32)
+    # First bin whose cumulative count reaches the target.
+    reached = csum >= target
+    first = jnp.argmax(reached)
+    limit = (first.astype(dists.dtype) + 1.0) / bins * max_d2
+    return ((dists <= limit) & valid).astype(dists.dtype)

@@ -68,6 +68,8 @@ class MapperConfig:
             coarse_stride=4,
             candidate_refresh_every=5,
             candidate_slack=0.25,
+            fast_trimming=True,
+            packed_payload=True,
             degeneracy=DegeneracyConfig(method="none"),
         )
     )

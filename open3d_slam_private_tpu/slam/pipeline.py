@@ -280,8 +280,14 @@ class SlamPipeline:
             map_pts, capacity=max(1 << int(np.ceil(np.log2(max(len(map_pts), 2)))), 1024)
         )
         hint = np.eye(4) if hint_pose is None else np.asarray(hint_pose, np.float64)
+        # Stricter gates than loop closure: a wrong global pose is much more
+        # damaging than a skipped relocalization attempt.
         prcfg = dataclasses.replace(
-            prcfg, num_xy_offsets=5, xy_offset=search_radius / 2.0
+            prcfg,
+            num_xy_offsets=5,
+            xy_offset=search_radius / 2.0,
+            min_overlap=max(prcfg.min_overlap, 0.45),
+            max_residual=min(prcfg.max_residual, 0.2),
         )
         got = pr.verify_candidate(processed, target, hint, prcfg)
         if got is None:

@@ -426,3 +426,22 @@ def test_icp_sequence_api(rng):
         assert trans_err < 5e-3
     seq.clear_map()
     assert not seq.has_map()
+
+
+def test_packed_payload_icp_matches_exact(rng):
+    ref_pts = make_surface_cloud(rng)
+    ref = with_normals(ref_pts)
+    T_true = small_transform()
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    reading = pc.from_points(reading_pts)
+    base = icp_mod.ICPConfig(**{**BASE_CFG.__dict__, "matcher": "grid",
+                               "grid_table_size": 1 << 14, "grid_bucket_cap": 48})
+    packed = icp_mod.ICPConfig(**{**base.__dict__, "packed_payload": True})
+    r0 = icp_mod.register_pair(reading, ref, jnp.eye(4), base)
+    r1 = icp_mod.register_pair(reading, ref, jnp.eye(4), packed)
+    np.testing.assert_allclose(np.asarray(r1.transform), np.asarray(r0.transform), atol=5e-4)
+    # Cached + packed together.
+    cp = icp_mod.ICPConfig(**{**packed.__dict__, "candidate_refresh_every": 5})
+    r2 = icp_mod.register_pair(reading, ref, jnp.eye(4), cp)
+    rot_err, trans_err = pose_error(r2.transform, T_true)
+    assert trans_err < 2e-3, trans_err

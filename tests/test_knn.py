@@ -149,3 +149,33 @@ def test_grid_overflow_graceful(rng):
     q = np.array([[0.005, 0.005, 0.005]], dtype=np.float32)
     res = grid_hash.grid_knn(grid, jnp.asarray(r), jnp.asarray(q), jnp.ones(1, bool), k=1, max_dist=0.5)
     assert int(res.ids[0, 0]) in range(500)
+
+
+def test_packed_cell_list_matches_exact(rng):
+    from open3d_slam_private_tpu.ops import cell_list
+
+    r = rng.uniform(-4, 4, size=(3000, 3)).astype(np.float32)
+    nrm = rng.normal(size=(3000, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    q = rng.uniform(-4, 4, size=(800, 3)).astype(np.float32)
+    radius = 0.5
+    exact = cell_list.build_cell_list(jnp.asarray(r), jnp.ones(3000, bool), radius,
+                                      1 << 13, 48, normals=jnp.asarray(nrm))
+    packed = cell_list.build_cell_list_packed(jnp.asarray(r), jnp.ones(3000, bool), radius,
+                                              1 << 13, 48, normals=jnp.asarray(nrm))
+    re = cell_list.cell_match(exact, jnp.asarray(q), jnp.ones(800, bool), k=1, max_dist=radius)
+    rp = cell_list.cell_match_packed(packed, jnp.asarray(q), jnp.ones(800, bool), k=1, max_dist=radius)
+    ve, vp = np.asarray(re.valid())[:, 0], np.asarray(rp.valid())[:, 0]
+    # Valid sets agree except at quantization-boundary ties.
+    assert np.mean(ve == vp) > 0.995
+    both = ve & vp
+    same_id = np.asarray(re.ids)[both, 0] == np.asarray(rp.ids)[both, 0]
+    assert same_id.mean() > 0.99
+    # Positions decode to ~25um, normals to ~1e-4.
+    dx = np.abs(np.asarray(re.xyz)[both, 0] - np.asarray(rp.xyz)[both, 0])
+    assert dx[same_id].max() < 1e-3
+    dn = np.abs(
+        np.asarray(re.normals)[both, 0][same_id]
+        - np.asarray(rp.normals)[both, 0][same_id]
+    )
+    assert dn.max() < 1e-3

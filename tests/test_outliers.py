@@ -70,3 +70,15 @@ def test_mad_scale(rng):
     s = float(outliers.mad_scale(jnp.asarray(d), jnp.asarray(valid)))
     # For half-normal |N(0,1)|: median ~ 0.674, MAD ~ 0.394 -> scale ~ 0.585.
     assert 0.5 < s < 0.7
+
+
+def test_trimmed_histogram_close_to_exact(rng):
+    d = (rng.uniform(0, 0.5, size=(5000, 1)).astype(np.float32)) ** 2
+    valid = rng.uniform(size=(5000, 1)) > 0.2
+    exact = np.asarray(outliers.trimmed_dist(jnp.asarray(d), jnp.asarray(valid), 0.8))
+    hist = np.asarray(outliers.trimmed_dist_histogram(jnp.asarray(d), jnp.asarray(valid), 0.8, 0.25))
+    # Agreement except near the bin-resolution boundary.
+    agree = (exact == hist).mean()
+    assert agree > 0.98, agree
+    kept_e, kept_h = exact.sum(), hist.sum()
+    assert abs(kept_e - kept_h) / kept_e < 0.03

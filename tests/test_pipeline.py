@@ -233,8 +233,21 @@ def test_checkpoint_resume_bitexact(rng, tmp_path):
 @pytest.mark.slow
 def test_relocalize_on_built_map(rng):
     """Kidnapped-robot: relocalize a scan on the built map with only a
-    coarse hint (the SlamMapInitializer workflow)."""
+    coarse hint (the SlamMapInitializer workflow).
+
+    The world carries distinct box landmarks: in a self-similar corridor
+    world, trimmed-residual scoring cannot disambiguate slides along walls
+    (any ICP-based scorer aliases there, the reference's included)."""
     world = make_world(rng)
+    boxes = []
+    for (cx, cy, sx, sy, sz) in [(3, 2, 1.2, 0.6, 2.0), (12, 7, 0.8, 1.5, 1.4),
+                                 (7, 12, 1.6, 0.9, 2.4)]:
+        m = 700
+        f1 = np.c_[np.full((m, 1), cx + sx), cy + rng.uniform(-sy, sy, (m, 1)), rng.uniform(0, sz, (m, 1))]
+        f2 = np.c_[cx + rng.uniform(-sx, sx, (m, 1)), np.full((m, 1), cy + sy), rng.uniform(0, sz, (m, 1))]
+        f3 = np.c_[cx + rng.uniform(-sx, sx, (m, 1)), cy + rng.uniform(-sy, sy, (m, 1)), np.full((m, 1), sz)]
+        boxes += [f1, f2, f3]
+    world = np.vstack([world] + boxes).astype(np.float32)
     cfg = dataclasses.replace(small_config(), use_external_odometry=True)
     pipe = SlamPipeline(cfg)
     poses = square_trajectory(10.0, 8)[:16]
