@@ -164,6 +164,24 @@ def _cut_at_descriptor(b, key, p):
     )
 
 
+def _max_density(b, key, p):
+    return filters.max_density(b, key, float(p.get("maxDensity", 10.0)))
+
+
+def _normal_space(b, key, p):
+    return filters.normal_space_sampling(
+        b, key, target_count=int(float(p.get("nbSample", 5000)))
+    )
+
+
+def _covariance_sampling(b, key, p):
+    return filters.covariance_sampling(b, target_count=int(float(p.get("nbSample", 5000))))
+
+
+def _remove_sensor_bias(b, key, p):
+    return filters.remove_sensor_bias(b)
+
+
 FILTER_REGISTRY: Dict[str, Callable] = {
     "IdentityDataPointsFilter": _identity,
     "RemoveNaNDataPointsFilter": _remove_nan,
@@ -185,6 +203,10 @@ FILTER_REGISTRY: Dict[str, Callable] = {
     "SimpleSensorNoiseDataPointsFilter": _simple_sensor_noise,
     "IncidenceAngleDataPointsFilter": _incidence_angle,
     "CutAtDescriptorThresholdDataPointsFilter": _cut_at_descriptor,
+    "MaxDensityDataPointsFilter": _max_density,
+    "NormalSpaceDataPointsFilter": _normal_space,
+    "CovarianceSamplingDataPointsFilter": _covariance_sampling,
+    "RemoveSensorBiasDataPointsFilter": _remove_sensor_bias,
 }
 
 
@@ -239,6 +261,10 @@ def icp_config_from_dict(doc: dict, matcher_backend: str = "grid") -> icp_mod.IC
         name, p = _single(doc["matcher"])
         if name not in ("KDTreeMatcher", "KDTreeVarDistMatcher", "NullMatcher"):
             raise KeyError(f"unknown matcher {name}")
+        # KDTreeVarDistMatcher: per-point radii come from a descriptor at
+        # match time (pass an [N] array as max_dist to cell_match); the
+        # yaml's maxDistField names the channel — the engine-level radius
+        # here is the build/upper bound.
         kw["knn"] = int(p.get("knn", 1))
         max_dist = float(p.get("maxDist", math.inf))
         kw["max_match_dist"] = max_dist

@@ -131,8 +131,12 @@ def slam_config_from_dict(doc: dict) -> SlamConfig:
         pgc = dataclasses.replace(pgc, huber_delta=float(go["loop_closure_preference"]))
 
     lc_enabled = bool(_get(doc, "mapper_localizer", "is_attempt_loop_closures", default=True))
+    dense_enabled = bool(_get(doc, "mapper_localizer", "is_build_dense_map", default=False))
+    dmb = _get(doc, "dense_map_builder", default={}) or {}
 
     return SlamConfig(
+        build_dense_map=dense_enabled,
+        dense_map_voxel=float(dmb.get("map_voxel_size", 0.05)),
         odometry=od,
         mapper=mp,
         submaps=sub,

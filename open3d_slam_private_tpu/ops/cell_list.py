@@ -156,7 +156,12 @@ def cell_match(
     k: int = 1,
     max_dist=None,
 ) -> MatchResult:
-    """Exact within-radius KNN via the precomputed lists (one gather)."""
+    """Exact within-radius KNN via the precomputed lists (one gather).
+
+    ``max_dist`` may be a scalar or a per-query ``[N]`` array (the
+    KDTreeVarDistMatcher semantics — per-point search radii from a
+    descriptor); per-point radii must not exceed the build radius.
+    """
     from open3d_slam_private_tpu.ops.grid_hash import match_from_candidates
 
     radius = cl.cell_size if max_dist is None else jnp.asarray(max_dist, query_xyz.dtype)

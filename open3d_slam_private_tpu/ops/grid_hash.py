@@ -310,8 +310,9 @@ def match_from_candidates(
     """
     n, m, _ = rows.shape
     dtype = query_xyz.dtype
+    # Scalar or per-query [N] radii (KDTreeVarDistMatcher semantics).
     radius = jnp.asarray(max_dist, dtype)
-    max_d2 = radius * radius
+    max_d2 = (radius * radius).reshape(-1, 1) if radius.ndim == 1 else radius * radius
 
     diff = rows[..., :3] - query_xyz[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from open3d_slam_private_tpu.ops import pointcloud as pc
+from open3d_slam_private_tpu.slam import dense_map as dense_map_mod
 from open3d_slam_private_tpu.slam import place_recognition as pr
 from open3d_slam_private_tpu.slam import pose_graph as pg
 from open3d_slam_private_tpu.slam import submap as submap_mod
@@ -53,6 +54,11 @@ class SlamConfig:
     pose_graph: pg.PoseGraphConfig = dataclasses.field(default_factory=pg.PoseGraphConfig)
     use_external_odometry: bool = False  # ≙ useOdometryTopic
     loop_closure_enabled: bool = True
+    # ≙ is_build_dense_map: maintain the high-resolution aggregate map
+    # alongside the sparse matching submaps (dense_map worker analogue).
+    build_dense_map: bool = False
+    dense_map_voxel: float = 0.05
+    dense_map_capacity: int = 1 << 20
     node_capacity: int = 128
     edge_capacity: int = 512
 
@@ -75,6 +81,11 @@ class SlamPipeline:
         self._scans_since_reinit = 0
         self._last_insert_pose: Optional[np.ndarray] = None
         self._initialized = False
+        self.dense_map = (
+            dense_map_mod.create(self.cfg.dense_map_capacity, self.cfg.dense_map_voxel)
+            if self.cfg.build_dense_map
+            else None
+        )
         # Pose-graph bookkeeping: one node per submap (anchor poses).
         self._loop_constraints: List[pr.LoopClosureConstraint] = []
         self._scan_count = 0
@@ -162,6 +173,10 @@ class SlamPipeline:
         )
         if moved and not use_prior:
             self.submaps.insert_scan(processed, new_pose, new_pose)
+            if self.dense_map is not None:
+                self.dense_map = dense_map_mod.insert(
+                    self.dense_map, scan, jnp.asarray(new_pose, jnp.float32)
+                )
             self._last_insert_pose = new_pose.copy()
             inserted = True
 
@@ -239,6 +254,13 @@ class SlamPipeline:
 
     def assembled_map(self) -> np.ndarray:
         return self.submaps.map_points()
+
+    def dense_map_points(self) -> np.ndarray:
+        """High-resolution aggregate map (requires build_dense_map)."""
+        if self.dense_map is None:
+            return np.zeros((0, 3), np.float32)
+        out = dense_map_mod.export(self.dense_map)
+        return np.asarray(out.xyz)[np.asarray(out.mask)]
 
     def save_map(self, path: str) -> None:
         from open3d_slam_private_tpu.io import save_ply

@@ -179,3 +179,24 @@ def test_packed_cell_list_matches_exact(rng):
         - np.asarray(rp.normals)[both, 0][same_id]
     )
     assert dn.max() < 1e-3
+
+
+def test_cell_match_per_point_radius(rng):
+    """KDTreeVarDistMatcher semantics: per-query search radii."""
+    from open3d_slam_private_tpu.ops import cell_list
+
+    r = rng.uniform(-3, 3, size=(2000, 3)).astype(np.float32)
+    q = rng.uniform(-3, 3, size=(400, 3)).astype(np.float32)
+    cl = cell_list.build_cell_list(jnp.asarray(r), jnp.ones(2000, bool), 0.5, 1 << 12, 48)
+    radii = rng.uniform(0.05, 0.5, size=400).astype(np.float32)
+    res = cell_list.cell_match(cl, jnp.asarray(q), jnp.ones(400, bool), k=1,
+                               max_dist=jnp.asarray(radii))
+    from scipy.spatial import cKDTree
+    tree = cKDTree(r)
+    d_ref, i_ref = tree.query(q, k=1)
+    valid = np.asarray(res.valid())[:, 0]
+    expect = d_ref <= radii
+    # boundary-rounding tolerance
+    clear = np.abs(d_ref - radii) > 1e-4
+    np.testing.assert_array_equal(valid[clear], expect[clear])
+    np.testing.assert_array_equal(np.asarray(res.ids)[valid & clear, 0], i_ref[valid & clear])

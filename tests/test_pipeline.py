@@ -266,3 +266,23 @@ def test_relocalize_on_built_map(rng):
     err = np.linalg.norm(T[:3, 3] - true_pose[:3, 3])
     assert err < 0.3, err
     np.testing.assert_allclose(pipe.pose, T)
+
+
+@pytest.mark.slow
+def test_dense_map_builds_alongside(rng):
+    world = make_world(rng)
+    cfg = dataclasses.replace(small_config(), use_external_odometry=True,
+                              build_dense_map=True, dense_map_voxel=0.2,
+                              dense_map_capacity=1 << 16)
+    pipe = SlamPipeline(cfg)
+    poses = square_trajectory(6.0, 5)[:6]
+    for i, tp in enumerate(poses):
+        pipe.process_scan(pc.from_points(scan_at(world, tp, 3000, seed=i), capacity=4096),
+                          0.1 * i, external_odom_pose=tp)
+    dm = pipe.dense_map_points()
+    sparse = pipe.assembled_map()
+    assert len(dm) > len(sparse) * 0.5
+    # Dense map lives in the same frame as the sparse map.
+    from scipy.spatial import cKDTree
+    d, _ = cKDTree(sparse).query(dm[::20], k=1)
+    assert np.median(d) < 0.5
