@@ -82,7 +82,6 @@ def main():
         candidate_refresh_every=5,
         candidate_slack=0.25,
         fast_trimming=True,
-        packed_payload=True,
     )
 
     # Build the submap: dense scene voxelized to 0.15 m with normals.

@@ -19,6 +19,15 @@ leggedrobotics/open3d_slam_private (libpointmatcher X-ICP + open3d_slam):
 Everything on the compute path is fixed-shape, masked, jit/vmap-first.
 """
 
+import jax as _jax
+
+# Geometry code is numerics-sensitive: on TPU the default matmul precision
+# is bfloat16, which perturbs SE(3) point transforms by ~1e-2 relative —
+# enough to flip voxel-boundary cells and bias registrations. All matmuls
+# in this library run at full f32 precision ("highest"); the hot paths
+# (grid matching, linearization) are VPU elementwise math and unaffected.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from open3d_slam_private_tpu.version import __version__
 
 __all__ = ["__version__"]

@@ -103,10 +103,14 @@ def insert(state: DenseMapState, scan: PointBatch, T_map_scan: jax.Array) -> Den
     agg_nrm = seg_sum(nrm[order] * ones[:, None]) if nrm is not None else jnp.zeros_like(agg_xyz)
     col = posed.extras.get("colors")
     agg_col = seg_sum(col[order] * ones[:, None]) if col is not None else jnp.zeros_like(agg_xyz)
-    # Representative key per segment: first row of each run.
-    first_idx = seg_sum(jnp.where(new_seg, jnp.arange(n), 0).astype(jnp.float32)).astype(jnp.int32)
-    agg_hi = seg_sum(jnp.where(new_seg, s_hi, 0).astype(jnp.float32)).astype(jnp.int32)
-    agg_lo = seg_sum(jnp.where(new_seg, s_lo, 0).astype(jnp.float32)).astype(jnp.int32)
+    # Representative key per segment (first row of each run). INTEGER
+    # segment sums: packed keys exceed 2^24, so routing them through f32
+    # corrupts low bits (distinct cells silently merge).
+    def seg_sum_i(v):
+        return jax.ops.segment_sum(v, seg, num_segments=n + 1)[:n]
+
+    agg_hi = seg_sum_i(jnp.where(new_seg, s_hi, 0))
+    agg_lo = seg_sum_i(jnp.where(new_seg, s_lo, 0))
     agg_valid = agg_cnt > 0
 
     # Match scan voxels against existing bank keys EXACTLY: lexicographic

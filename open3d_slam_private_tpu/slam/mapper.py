@@ -69,7 +69,6 @@ class MapperConfig:
             candidate_refresh_every=5,
             candidate_slack=0.25,
             fast_trimming=True,
-            packed_payload=True,
             degeneracy=DegeneracyConfig(method="none"),
         )
     )

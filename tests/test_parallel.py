@@ -1,10 +1,16 @@
 """Multi-device tests on the virtual 8-CPU mesh (conftest forces
-xla_force_host_platform_device_count=8)."""
+xla_force_host_platform_device_count=8). Skipped when fewer than 8 devices
+are visible (e.g. when the axon sitecustomize pins the backend to the single
+real TPU before conftest runs)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual mesh"
+)
 
 from open3d_slam_private_tpu.geometry import se3
 from open3d_slam_private_tpu.models import icp as icp_mod
