@@ -280,6 +280,12 @@ def icp_config_from_dict(doc: dict, matcher_backend: str = "grid") -> icp_mod.IC
         elif name == "RobustOutlierFilter":
             kw["robust"] = str(p.get("robustFct", "cauchy"))
             kw["robust_scale"] = float(p.get("tuning", 1.0))
+        elif name == "VarTrimmedDistOutlierFilter":
+            kw["var_trimmed"] = (
+                float(p.get("minRatio", 0.05)), float(p.get("maxRatio", 0.99))
+            )
+        elif name == "MedianDistOutlierFilter":
+            kw["median_factor"] = float(p.get("factor", 1.5))
         elif name in ("NullOutlierFilter",):
             pass
         else:

@@ -62,6 +62,9 @@ class ICPConfig:
     # Histogram-based trimming threshold (O(N), resolution maxDist^2/256)
     # instead of the exact nth-element sort — the jitted-loop fast path.
     fast_trimming: bool = False
+    # VarTrimmedDistOutlierFilter: auto-tuned trim ratio in [min, max].
+    var_trimmed: Optional[tuple] = None  # (min_ratio, max_ratio)
+    median_factor: Optional[float] = None  # MedianDistOutlierFilter factor
     normal_angle_max: Optional[float] = None  # SurfaceNormalOutlierFilter (rad)
     robust: Optional[str] = None  # cauchy|huber|gm|tukey|welsch|sc|l1|student
     robust_scale: float = 1.0  # tuning constant (metres); MAD if <= 0
@@ -227,6 +230,12 @@ def _weights(res, reading, matched_normals_flat, cfg: ICPConfig):
             )
         else:
             w = w * outliers.trimmed_dist(res.dists, valid, cfg.trimmed_ratio)
+    if cfg.var_trimmed is not None:
+        w = w * outliers.var_trimmed_dist(
+            res.dists, valid, cfg.var_trimmed[0], cfg.var_trimmed[1]
+        )
+    if cfg.median_factor is not None:
+        w = w * outliers.median_dist(res.dists, valid, cfg.median_factor)
     if cfg.robust is not None:
         if cfg.robust_scale > 0:
             k2 = cfg.robust_scale**2

@@ -136,3 +136,17 @@ def test_slam_config_empty_dict_gives_defaults():
     cfg = slam_config_from_dict({})
     assert cfg.mapper.icp.minimizer == "point_to_plane"
     assert cfg.loop_closure_enabled
+
+
+def test_var_trimmed_and_median_yaml():
+    doc = {
+        "matcher": {"KDTreeMatcher": {"knn": 1, "maxDist": 0.5}},
+        "outlierFilters": [
+            {"VarTrimmedDistOutlierFilter": {"minRatio": 0.1, "maxRatio": 0.9}},
+            {"MedianDistOutlierFilter": {"factor": 2.0}},
+        ],
+        "errorMinimizer": "PointToPlaneErrorMinimizer",
+    }
+    cfg = icp_config_from_dict(doc)
+    assert cfg.var_trimmed == (0.1, 0.9)
+    assert cfg.median_factor == 2.0

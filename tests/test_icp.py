@@ -447,3 +447,17 @@ def test_packed_payload_icp_matches_exact(rng):
     r2 = icp_mod.register_pair(reading, ref, jnp.eye(4), cp)
     rot_err, trans_err = pose_error(r2.transform, T_true)
     assert trans_err < 2e-3, trans_err
+
+
+def test_var_trimmed_in_loop(rng):
+    ref_pts = make_surface_cloud(rng)
+    ref = with_normals(ref_pts)
+    T_true = small_transform(0.02, 0.05)
+    reading_pts = np.array(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    n_out = len(reading_pts) // 4
+    reading_pts[:n_out] += 0.5  # gross outlier block
+    cfg = icp_mod.ICPConfig(**{**BASE_CFG.__dict__, "trimmed_ratio": None,
+                               "var_trimmed": (0.3, 0.95)})
+    res = icp_mod.register_pair(pc.from_points(reading_pts), ref, jnp.eye(4), cfg)
+    rot_err, trans_err = pose_error(res.transform, T_true)
+    assert trans_err < 1e-2, trans_err
