@@ -149,16 +149,37 @@ def rigid_from_axis_angle_atan(x: jax.Array) -> jax.Array:
 
 
 def apply_transform(T: jax.Array, points: jax.Array) -> jax.Array:
-    """Apply ``[..., 4, 4]`` to ``[..., N, 3]`` points."""
+    """Apply ``[..., 4, 4]`` to ``[..., N, 3]`` points.
+
+    Written as broadcast arithmetic rather than an einsum: a K=3 matmul is
+    MXU-hostile, and full-f32 VPU math is both exact and faster than the
+    6-pass "highest"-precision MXU path on TPU."""
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    return jnp.einsum("...ij,...nj->...ni", R, points) + t[..., None, :]
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    out = jnp.stack(
+        [
+            R[..., None, 0, 0] * x + R[..., None, 0, 1] * y + R[..., None, 0, 2] * z,
+            R[..., None, 1, 0] * x + R[..., None, 1, 1] * y + R[..., None, 1, 2] * z,
+            R[..., None, 2, 0] * x + R[..., None, 2, 1] * y + R[..., None, 2, 2] * z,
+        ],
+        axis=-1,
+    )
+    return out + t[..., None, :]
 
 
 def apply_rotation(T: jax.Array, vectors: jax.Array) -> jax.Array:
     """Rotate ``[..., N, 3]`` direction vectors (e.g. normals) by ``[..., 4, 4]``."""
     R = T[..., :3, :3]
-    return jnp.einsum("...ij,...nj->...ni", R, vectors)
+    x, y, z = vectors[..., 0], vectors[..., 1], vectors[..., 2]
+    return jnp.stack(
+        [
+            R[..., None, 0, 0] * x + R[..., None, 0, 1] * y + R[..., None, 0, 2] * z,
+            R[..., None, 1, 0] * x + R[..., None, 1, 1] * y + R[..., None, 1, 2] * z,
+            R[..., None, 2, 0] * x + R[..., None, 2, 1] * y + R[..., None, 2, 2] * z,
+        ],
+        axis=-1,
+    )
 
 
 def transform_inverse(T: jax.Array) -> jax.Array:

@@ -41,11 +41,24 @@ def point_to_plane_pairs(src_xyz, ref_xyz, ref_normals, weights):
 
 
 def point_to_plane_normal_equations(src_xyz, ref_xyz, ref_normals, weights):
-    """Weighted 6x6 normal equations (A, b) for point-to-plane."""
+    """Weighted 6x6 normal equations (A, b) for point-to-plane.
+
+    Assembled as 21+6 explicit VPU reductions instead of a [6,P]x[P,6]
+    matmul: exact f32 sums without the 6-pass "highest" MXU cost (K=6
+    matmuls waste the systolic array anyway)."""
     J, r = point_to_plane_pairs(src_xyz, ref_xyz, ref_normals, weights)
     wJ = J * weights[:, None]
-    A = jnp.einsum("pi,pj->ij", wJ, J)
-    b = -jnp.einsum("pi,p->i", wJ, r)
+    # Upper triangle of A via elementwise products; mirror for symmetry.
+    cols_w = [wJ[:, i] for i in range(6)]
+    cols = [J[:, i] for i in range(6)]
+    A = jnp.zeros((6, 6), src_xyz.dtype)
+    for i in range(6):
+        for j in range(i, 6):
+            v = jnp.sum(cols_w[i] * cols[j])
+            A = A.at[i, j].set(v)
+            if i != j:
+                A = A.at[j, i].set(v)
+    b = -jnp.stack([jnp.sum(cols_w[i] * r) for i in range(6)])
     return A, b
 
 
