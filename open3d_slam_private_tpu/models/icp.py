@@ -262,13 +262,11 @@ def _solve(A, b, src_flat, mn_flat, ddn, pair_mask, cfg: ICPConfig):
         )
         x = xicp.solve_with_equality_constraints(A, b, loc)
     else:
-        x = minimizers.solve_normal_equations(A, b)
-        w6, _ = jnp.linalg.eigh(A)
-        loc = dataclasses.replace(
-            xicp._identity_result(A.dtype),
-            eigenvalues6=w6,
-            condition_number=jnp.max(jnp.abs(w6)) / jnp.maximum(jnp.min(jnp.abs(w6)), 1e-30),
-        )
+        # Fast path: damped LU; spectral diagnostics are computed once from
+        # the final hessian after the loop (carried in the state), not per
+        # iteration — a 6x6 eigh costs ~0.8 ms on TPU.
+        x = minimizers.solve_normal_equations_fast(A, b)
+        loc = xicp._identity_result(A.dtype)
     return x, loc
 
 
@@ -316,15 +314,8 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             )
             A, b = _allsum(A), _allsum(b)
             A_out = A
-            x = minimizers.solve_normal_equations(A, b)
+            x = minimizers.solve_normal_equations_fast(A, b)
             loc = xicp._identity_result(dtype)
-            w6, _ = jnp.linalg.eigh(A)
-            loc = dataclasses.replace(
-                loc,
-                eigenvalues6=w6,
-                condition_number=jnp.max(jnp.abs(w6))
-                / jnp.maximum(jnp.min(jnp.abs(w6)), 1e-30),
-            )
             dT = minimizers.delta_transform_from_x(x)
             rvec = src_flat - q
             resid = jnp.sqrt(
@@ -335,7 +326,10 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             if cfg.force_4dof:
                 A, b = minimizers.point_to_plane_4dof_normal_equations(src_flat, q, mn, w)
                 A, b = _allsum(A), _allsum(b)
-                x = minimizers.solve_normal_equations(A, b)
+                tr4 = jnp.trace(A) / 4.0
+                x = jnp.linalg.solve(
+                    A + 1e-6 * jnp.maximum(tr4, 1e-12) * jnp.eye(4, dtype=A.dtype), b
+                )
                 loc = xicp._identity_result(dtype)
                 dT = minimizers.delta_transform_from_x(x, force_4dof=True)
             else:
@@ -490,11 +484,17 @@ def icp_single(
     degenerate = (jnp.min(loc.localizability_rot) < 0.5) | (
         jnp.min(loc.localizability_trans) < 0.5
     )
-    # sigma^2 (J^T J)^-1 with sigma = final weighted residual RMS (the
-    # WithCov minimizers' covariance, PointToPlaneWithCov/PointToPointWithCov).
+    # Spectral diagnostics + covariance from the FINAL hessian, once.
     w6, V6 = jnp.linalg.eigh(final["A"])
     inv = jnp.where(jnp.abs(w6) > 1e-7 * jnp.max(jnp.abs(w6)), 1.0 / w6, 0.0)
     cov = (V6 * inv[None, :]) @ V6.T * jnp.maximum(final["resid"], 1e-6) ** 2
+    have_A = jnp.max(jnp.abs(final["A"])) > 0
+    eig_out = jnp.where(have_A, w6, loc.eigenvalues6)
+    cond_out = jnp.where(
+        have_A,
+        jnp.max(jnp.abs(w6)) / jnp.maximum(jnp.min(jnp.abs(w6)), 1e-30),
+        loc.condition_number,
+    )
     return ICPResult(
         transform=T_out,
         iterations=final["it"],
@@ -502,8 +502,8 @@ def icp_single(
         match_ratio=final["match_ratio"],
         overlap_ratio=final["overlap"],
         residual=final["resid"],
-        eigenvalues=loc.eigenvalues6,
-        condition_number=loc.condition_number,
+        eigenvalues=eig_out,
+        condition_number=cond_out,
         localizability_rot=loc.localizability_rot,
         localizability_trans=loc.localizability_trans,
         degenerate=degenerate,

@@ -155,6 +155,20 @@ def _inv3x3(S):
     return adj * inv_det[:, None, None]
 
 
+def solve_normal_equations_fast(A: jax.Array, b: jax.Array, damping: float = 1e-6) -> jax.Array:
+    """Damped direct solve of symmetric PSD ``A x = b`` (LU, 6x6).
+
+    The in-loop fast path: a full eigh per iteration costs ~0.8 ms on TPU
+    (sequential QR iteration on a tiny matrix) while LU is ~10x cheaper.
+    Tikhonov damping scaled by the trace keeps near-singular systems tame;
+    the spectral (min-norm) variant below remains for degeneracy analysis
+    and final diagnostics.
+    """
+    tr = jnp.trace(A) / 6.0
+    Ad = A + (damping * jnp.maximum(tr, 1e-12)) * jnp.eye(6, dtype=A.dtype)
+    return jnp.linalg.solve(Ad, b)
+
+
 def solve_normal_equations(A: jax.Array, b: jax.Array, rcond: float = 1e-7) -> jax.Array:
     """Minimum-norm least-squares solve of symmetric ``A x = b``.
 
