@@ -94,3 +94,27 @@ def test_golden_transform_parity(clouds, golden_name):
     res = icp_mod.register_pair(read, ref, jnp.eye(4), GOLDEN_CFG)
     err = median_rel_err(np.asarray(res.transform), golden, read_full)
     assert err < 0.05, f"{golden_name}: rel err {err:.4f} vs golden\n{np.asarray(res.transform)}\n{golden}"
+
+
+def test_golden_force4dof(clouds):
+    """The 4-DoF (yaw + translation) golden config: knn=10 matcher, trimmed
+    0.8 + normal-angle gate, force4DOF point-to-plane."""
+    ref, read, read_full = clouds
+    import dataclasses
+
+    from open3d_slam_private_tpu.ops import normals as normals_mod
+
+    golden = load_golden("force4DOFForPointToPlaneMinimizer")
+    read_n = normals_mod.estimate_normals(read, knn=12, max_dist=2.0)
+    # The golden used knn=10 matching; matching budget matters for 4-DoF.
+    cfg = dataclasses.replace(
+        GOLDEN_CFG, knn=10, max_match_dist=1.5, grid_bucket_cap=192,
+        trimmed_ratio=0.8, normal_angle_max=0.42, force_4dof=True,
+        max_iterations=60, min_diff_rot=1e-4, min_diff_trans=1e-3,
+    )
+    res = icp_mod.register_pair(read_n, ref, jnp.eye(4), cfg)
+    err = median_rel_err(np.asarray(res.transform), golden, read_full)
+    assert err < 0.05, f"4DOF rel err {err:.4f}"
+    # The solution is genuinely 4-DoF: no roll/pitch.
+    T = np.asarray(res.transform)
+    assert abs(T[2, 0]) < 1e-5 and abs(T[2, 1]) < 1e-5
