@@ -182,6 +182,32 @@ def _remove_sensor_bias(b, key, p):
     return filters.remove_sensor_bias(b)
 
 
+def _elipsoids(b, key, p):
+    from open3d_slam_private_tpu.ops import surfels
+
+    return surfels.elipsoids(
+        b,
+        box_size=float(p.get("maxBoxDim", 0.2)),
+        min_planarity=float(p.get("minPlanarity", 0.0)),
+        keep_covariances=bool(int(p.get("keepCovariances", 0))),
+    )
+
+
+def _gestalt(b, key, p):
+    from open3d_slam_private_tpu.ops import surfels
+
+    ratio = float(p.get("ratio", 0.1))
+    kp = filters.random_sampling(b, key, ratio)
+    desc = surfels.gestalt(b, kp.xyz, kp.mask, radius=float(p.get("radius", 5.0)))
+    extras = dict(kp.extras)
+    extras["gestaltMeans"] = desc["means"]
+    extras["gestaltVariances"] = desc["variances"]
+    extras["normals"] = desc["normals"]
+    import dataclasses as _dc
+
+    return _dc.replace(kp, extras=extras)
+
+
 FILTER_REGISTRY: Dict[str, Callable] = {
     "IdentityDataPointsFilter": _identity,
     "RemoveNaNDataPointsFilter": _remove_nan,
@@ -207,6 +233,8 @@ FILTER_REGISTRY: Dict[str, Callable] = {
     "NormalSpaceDataPointsFilter": _normal_space,
     "CovarianceSamplingDataPointsFilter": _covariance_sampling,
     "RemoveSensorBiasDataPointsFilter": _remove_sensor_bias,
+    "ElipsoidsDataPointsFilter": _elipsoids,
+    "GestaltDataPointsFilter": _gestalt,
 }
 
 
@@ -305,6 +333,10 @@ def icp_config_from_dict(doc: dict, matcher_backend: str = "grid") -> icp_mod.IC
             raise KeyError(f"unknown errorMinimizer {name}")
         kw["minimizer"] = mapping[name]
         kw["force_4dof"] = bool(int(p.get("force4DOF", 0)))
+        kw["force_2d"] = bool(int(p.get("force2D", 0)))
+        if kw["force_2d"] and kw["force_4dof"]:
+            # Reference: ConfigurationError (PointToPlane.cpp:68).
+            raise ValueError("force2D cannot be used together with force4DOF")
 
     # Checkers.
     for item in doc.get("transformationCheckers", []) or []:

@@ -74,6 +74,7 @@ class ICPConfig:
     minimizer: str = "point_to_plane"  # "point_to_plane" | "point_to_point" | "gicp"
     gicp_epsilon: float = 1e-3  # disk-covariance small eigenvalue
     force_4dof: bool = False
+    force_2d: bool = False
 
     # Degeneracy awareness (≙ degeneracyAwareness options).
     degeneracy: xicp.DegeneracyConfig = dataclasses.field(
@@ -323,13 +324,16 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                 / jnp.maximum(_allsum(jnp.sum(w)), 1e-9)
             )
         else:
-            if cfg.force_4dof:
+            if cfg.force_2d:
+                A, b = minimizers.point_to_plane_2d_normal_equations(src_flat, q, mn, w)
+                A, b = _allsum(A), _allsum(b)
+                x = minimizers.solve_spd_unrolled(A, b)
+                loc = xicp._identity_result(dtype)
+                dT = minimizers.delta_transform_from_x(x, force_2d=True)
+            elif cfg.force_4dof:
                 A, b = minimizers.point_to_plane_4dof_normal_equations(src_flat, q, mn, w)
                 A, b = _allsum(A), _allsum(b)
-                tr4 = jnp.trace(A) / 4.0
-                x = jnp.linalg.solve(
-                    A + 1e-6 * jnp.maximum(tr4, 1e-12) * jnp.eye(4, dtype=A.dtype), b
-                )
+                x = minimizers.solve_spd_unrolled(A, b)
                 loc = xicp._identity_result(dtype)
                 dT = minimizers.delta_transform_from_x(x, force_4dof=True)
             else:

@@ -76,6 +76,24 @@ def point_to_plane_4dof_normal_equations(src_xyz, ref_xyz, ref_normals, weights)
     return A, b
 
 
+def point_to_plane_2d_normal_equations(src_xyz, ref_xyz, ref_normals, weights):
+    """force2D variant: minimize in SE(2) on the XY plane, x = [theta, tx, ty].
+
+    Mirrors the reference's force2D mode (``PointToPlane.cpp:788`` drops the
+    z row; the 2-D wedge ``px*ny - py*nx`` replaces the cross product and the
+    output transform is ``Rz(theta)`` applied raw — the 2-D branch at
+    ``PointToPlane.cpp:388`` uses ``Eigen::Rotation2D(x0)`` without atan)."""
+    wedge = src_xyz[..., 0] * ref_normals[..., 1] - src_xyz[..., 1] * ref_normals[..., 0]
+    n2 = ref_normals[..., :2]
+    J = jnp.concatenate([wedge[:, None], n2], axis=-1)  # [P, 3]
+    d2 = src_xyz[..., :2] - ref_xyz[..., :2]
+    r = jnp.sum(d2 * n2, axis=-1)
+    wJ = J * weights[:, None]
+    A = jnp.einsum("pi,pj->ij", wJ, J)
+    b = -jnp.einsum("pi,p->i", wJ, r)
+    return A, b
+
+
 def gicp_normal_equations(
     src_xyz, src_normals, ref_xyz, ref_normals, weights, epsilon: float = 1e-3
 ):
@@ -155,18 +173,51 @@ def _inv3x3(S):
     return adj * inv_det[:, None, None]
 
 
-def solve_normal_equations_fast(A: jax.Array, b: jax.Array, damping: float = 1e-6) -> jax.Array:
-    """Damped direct solve of symmetric PSD ``A x = b`` (LU, 6x6).
+def solve_spd_unrolled(A: jax.Array, b: jax.Array, damping: float = 1e-6) -> jax.Array:
+    """Damped Cholesky solve of a small symmetric PSD system, FULLY UNROLLED.
 
-    The in-loop fast path: a full eigh per iteration costs ~0.8 ms on TPU
-    (sequential QR iteration on a tiny matrix) while LU is ~10x cheaper.
-    Tikhonov damping scaled by the trace keeps near-singular systems tame;
-    the spectral (min-norm) variant below remains for degeneracy analysis
-    and final diagnostics.
+    Inside a jitted ICP loop, LAPACK-style ops (eigh, LU, even
+    ``jnp.linalg.solve``) on a 6x6 lower to sequential HLO loops costing
+    ~0.5-1 ms per iteration on TPU. A statically unrolled Cholesky is ~90
+    scalar fused ops — effectively free. Trace-scaled Tikhonov keeps
+    near-singular systems tame (the reference's QR/SVD fallback territory).
     """
-    tr = jnp.trace(A) / 6.0
-    Ad = A + (damping * jnp.maximum(tr, 1e-12)) * jnp.eye(6, dtype=A.dtype)
-    return jnp.linalg.solve(Ad, b)
+    n = A.shape[-1]
+    tr = jnp.trace(A) / n
+    lam = damping * jnp.maximum(tr, 1e-12)
+    a = [[A[i, j] for j in range(n)] for i in range(n)]
+    for i in range(n):
+        a[i][i] = a[i][i] + lam
+    # Cholesky: L lower-triangular with A = L L^T.
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = a[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    # Forward/back substitution.
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
+def solve_normal_equations_fast(A: jax.Array, b: jax.Array, damping: float = 1e-6) -> jax.Array:
+    """In-loop fast path: see :func:`solve_spd_unrolled`."""
+    return solve_spd_unrolled(A, b, damping)
 
 
 def solve_normal_equations(A: jax.Array, b: jax.Array, rcond: float = 1e-7) -> jax.Array:
@@ -191,9 +242,25 @@ def solve_symmetric_indefinite(M: jax.Array, rhs: jax.Array, rcond: float = 1e-7
     return solve_normal_equations(M, rhs, rcond)
 
 
-def delta_transform_from_x(x: jax.Array, force_4dof: bool = False) -> jax.Array:
+def delta_transform_from_x(
+    x: jax.Array, force_4dof: bool = False, force_2d: bool = False
+) -> jax.Array:
     """Solved increment -> SE(3), using the reference's atan axis-angle
     reconstruction (``PointToPlane.cpp:340-370``)."""
+    if force_2d:
+        # 2-D branch (PointToPlane.cpp:388): raw Rotation2D(theta), z fixed.
+        theta = x[..., 0]
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        T = jnp.zeros(x.shape[:-1] + (4, 4), x.dtype)
+        T = T.at[..., 0, 0].set(c)
+        T = T.at[..., 0, 1].set(-s)
+        T = T.at[..., 1, 0].set(s)
+        T = T.at[..., 1, 1].set(c)
+        T = T.at[..., 2, 2].set(1.0)
+        T = T.at[..., 0, 3].set(x[..., 1])
+        T = T.at[..., 1, 3].set(x[..., 2])
+        T = T.at[..., 3, 3].set(1.0)
+        return T
     if force_4dof:
         yaw = x[..., 0]
         zeros = jnp.zeros_like(yaw)

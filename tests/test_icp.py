@@ -461,3 +461,12 @@ def test_var_trimmed_in_loop(rng):
     res = icp_mod.register_pair(pc.from_points(reading_pts), ref, jnp.eye(4), cfg)
     rot_err, trans_err = pose_error(res.transform, T_true)
     assert trans_err < 1e-2, trans_err
+
+
+def test_unrolled_spd_solver_matches_numpy(rng):
+    for n in (4, 6):
+        M = rng.normal(size=(n, n)).astype(np.float32)
+        A = M @ M.T + np.eye(n, dtype=np.float32) * 0.1
+        b = rng.normal(size=n).astype(np.float32)
+        x = np.asarray(minimizers.solve_spd_unrolled(jnp.asarray(A), jnp.asarray(b), damping=0.0))
+        np.testing.assert_allclose(A @ x, b, atol=2e-4 * np.abs(b).max() + 1e-4)
