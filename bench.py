@@ -79,7 +79,7 @@ def main():
         min_diff_trans=8e-3,
         coarse_iterations=20,
         coarse_stride=8,
-        candidate_refresh_every=5,
+        candidate_refresh_every=10,
         candidate_slack=0.25,
         fast_trimming=True,
     )

@@ -245,7 +245,7 @@ def _weights(res, reading, matched_normals_flat, cfg: ICPConfig):
         w = w * outliers.robust_weight(cfg.robust, res.dists, k2)
     w = w.reshape(-1)
     if cfg.normal_angle_max is not None and reading.normals is not None:
-        rn = jnp.repeat(reading.normals, cfg.knn, axis=0)
+        rn = jnp.repeat(reading.normals, valid.shape[1], axis=0)
         w = w * outliers.surface_normal_gate(
             rn, matched_normals_flat, valid.reshape(-1), cfg.normal_angle_max
         )
@@ -291,11 +291,14 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
     n_valid = jnp.maximum(_allsum(reading.count().astype(dtype)), 1.0)
 
     def gn_update(T, src, res):
+        # Pair axis M: cfg.knn for gathered matches, full candidate capacity
+        # for the masked candidate-major layout (extra slots carry w = 0).
+        m = res.ids.shape[1]
         A_out = jnp.zeros((6, 6), src.dtype)
         q = res.xyz.reshape(-1, 3)
         mn = res.normals.reshape(-1, 3)
         w = _weights(res, reading, mn, cfg)
-        src_flat = jnp.repeat(src, cfg.knn, axis=0)
+        src_flat = jnp.repeat(src, m, axis=0)
         pair_mask = res.valid().reshape(-1)
 
         if cfg.minimizer == "point_to_point":
@@ -337,15 +340,24 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                 loc = xicp._identity_result(dtype)
                 dT = minimizers.delta_transform_from_x(x, force_4dof=True)
             else:
-                A, b = minimizers.point_to_plane_normal_equations(src_flat, q, mn, w)
+                w2 = w.reshape(res.ids.shape)
+                A, b = minimizers.point_to_plane_normal_equations_bc(
+                    src, res.xyz, res.normals, w2
+                )
                 A, b = _allsum(A), _allsum(b)
                 A_out = A
-                ddn = jnp.sum((src_flat - q) * mn, axis=-1)
-                x, loc = _solve(A, b, src_flat, mn, ddn, pair_mask & (w > 0), cfg)
+                if cfg.degeneracy.method != "none":
+                    ddn = jnp.sum((src_flat - q) * mn, axis=-1)
+                    x, loc = _solve(A, b, src_flat, mn, ddn, pair_mask & (w > 0), cfg)
+                else:
+                    x = minimizers.solve_normal_equations_fast(A, b)
+                    loc = xicp._identity_result(dtype)
                 dT = minimizers.delta_transform_from_x(x)
-            r = jnp.sum((src_flat - q) * mn, axis=-1)
+            r2 = jnp.sum((src[:, None, :] - res.xyz) * res.normals, axis=-1)
+            wr = w.reshape(res.ids.shape)
             resid = jnp.sqrt(
-                _allsum(jnp.sum(w * r * r)) / jnp.maximum(_allsum(jnp.sum(w)), 1e-9)
+                _allsum(jnp.sum(wr * r2 * r2))
+                / jnp.maximum(_allsum(jnp.sum(wr)), 1e-9)
             )
 
         match_ratio = _allsum(jnp.sum(pair_mask.astype(dtype))) / (n_valid * cfg.knn)
@@ -425,26 +437,43 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             active = ~s["done"] & (s["it"] < max_iterations)
             return jax.tree.map(lambda old, nw: jnp.where(active, nw, old), s, new)
 
+        max_d2 = cfg.max_match_dist**2
+
         def round_body(s, _):
             src0 = se3.apply_transform(s["T"], reading.xyz)
             if cfg.packed_payload:
                 rows, valid, org = cell_mod.gather_packed_candidates(
                     ref.grid, src0, reading.mask
                 )
+                res0 = cell_mod.match_from_packed(
+                    rows, valid, org, ref.grid.cell_size, src0, reading.mask,
+                    cfg.max_match_dist, cfg.knn,
+                )
             else:
                 rows, valid = cell_mod.gather_cell_candidates(ref.grid, src0, reading.mask)
+                res0 = grid_mod.match_from_candidates(
+                    rows, valid, src0, reading.mask, cfg.max_match_dist, cfg.knn
+                )
+
+            # Pair caching: correspondences are SELECTED once per round (the
+            # top-k compaction is the expensive step — ~10 ms at 64k x 48 on
+            # v5e) and held fixed for the round's iterations; distances,
+            # radius gating, trimming weights, and the linearization are
+            # recomputed from the moving pose every iteration. Selection
+            # staleness is bounded by the same slack margin as candidate
+            # staleness, so this matches the cache-mode contract.
+            pair_ok = res0.ids >= 0
 
             def inner(si, _):
                 src = se3.apply_transform(si["T"], reading.xyz)
-                if cfg.packed_payload:
-                    res = cell_mod.match_from_packed(
-                        rows, valid, org, ref.grid.cell_size, src, reading.mask,
-                        cfg.max_match_dist, cfg.knn,
-                    )
-                else:
-                    res = grid_mod.match_from_candidates(
-                        rows, valid, src, reading.mask, cfg.max_match_dist, cfg.knn
-                    )
+                d2 = jnp.sum((src[:, None, :] - res0.xyz) ** 2, axis=-1)
+                invalid = ~pair_ok | (d2 > max_d2)
+                res = grid_mod.MatchResult(
+                    dists=jnp.where(invalid, jnp.inf, d2),
+                    ids=jnp.where(invalid, knn_mod.INVALID_ID, res0.ids),
+                    xyz=res0.xyz,
+                    normals=res0.normals,
+                )
                 return masked(si, gn_update(si["T"], src, res)), None
 
             s, _ = jax.lax.scan(inner, s, None, length=R)

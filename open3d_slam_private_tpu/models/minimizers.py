@@ -62,6 +62,32 @@ def point_to_plane_normal_equations(src_xyz, ref_xyz, ref_normals, weights):
     return A, b
 
 
+def point_to_plane_normal_equations_bc(src_xyz, ref_xyz, ref_normals, weights):
+    """Candidate-major point-to-plane normal equations.
+
+    ``src_xyz [N, 3]`` is broadcast against matched candidates
+    ``ref_xyz/ref_normals [N, M, 3]`` and ``weights [N, M]`` (0 for masked
+    pairs) — no materialized ``jnp.repeat`` of the source points, every
+    column product is a fused [N, M] elementwise pass. Identical sums to
+    :func:`point_to_plane_normal_equations` on the flattened pairs.
+    """
+    p = src_xyz[:, None, :]
+    n = ref_normals
+    cross = jnp.cross(jnp.broadcast_to(p, n.shape), n)
+    r = jnp.sum((p - ref_xyz) * n, axis=-1)
+    cols = [cross[..., 0], cross[..., 1], cross[..., 2], n[..., 0], n[..., 1], n[..., 2]]
+    cols_w = [c * weights for c in cols]
+    A = jnp.zeros((6, 6), src_xyz.dtype)
+    for i in range(6):
+        for j in range(i, 6):
+            v = jnp.sum(cols_w[i] * cols[j])
+            A = A.at[i, j].set(v)
+            if i != j:
+                A = A.at[j, i].set(v)
+    b = -jnp.stack([jnp.sum(cols_w[i] * r) for i in range(6)])
+    return A, b
+
+
 def point_to_plane_4dof_normal_equations(src_xyz, ref_xyz, ref_normals, weights):
     """4-DoF (yaw + translation) variant: J = [(p x n)_z ; n], x = [yaw, t].
 

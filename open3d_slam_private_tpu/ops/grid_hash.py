@@ -329,12 +329,27 @@ def match_from_candidates(
         best_x = sel_row[:, None, :3]
         best_nrm = sel_row[:, None, _NRM]
     else:
-        neg_d, sel = jax.lax.top_k(-d2, k)
-        best_d = -neg_d
-        best_i = jnp.take_along_axis(cand_ids, sel, axis=-1)
-        sel_rows = jnp.take_along_axis(rows, sel[..., None], axis=1)
-        best_x = sel_rows[..., :3]
-        best_nrm = sel_rows[..., _NRM]
+        # Iterative argmin + one-hot reduction: selecting winner rows with
+        # take_along_axis runs at ~2 GB/s on TPU (8.7 ms for 64k x 8 x 8)
+        # while re-streaming ``rows`` through k masked reductions runs at
+        # HBM stream rate. k passes of [N, M] min/select, no gathers.
+        iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        d = d2
+        ds, is_, xs, ns = [], [], [], []
+        for _ in range(k):
+            am = jnp.argmin(d, axis=-1)
+            pick = iota == am[:, None]
+            pf = pick.astype(dtype)
+            ds.append(jnp.min(d, axis=-1))
+            is_.append(jnp.sum(jnp.where(pick, cand_ids, 0), axis=-1))
+            sel_row = jnp.sum(rows * pf[:, :, None], axis=1)
+            xs.append(sel_row[:, :3])
+            ns.append(sel_row[:, _NRM])
+            d = jnp.where(pick, INF, d)
+        best_d = jnp.stack(ds, axis=-1)
+        best_i = jnp.stack(is_, axis=-1)
+        best_x = jnp.stack(xs, axis=1)
+        best_nrm = jnp.stack(ns, axis=1)
 
     invalid = (best_d > max_d2) | ~jnp.isfinite(best_d) | ~query_mask[:, None]
     return MatchResult(
@@ -342,6 +357,55 @@ def match_from_candidates(
         ids=jnp.where(invalid, INVALID_ID, best_i),
         xyz=jnp.where(invalid[..., None], 0.0, best_x),
         normals=jnp.where(invalid[..., None], 0.0, best_nrm),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def match_candidates_masked(
+    rows: jax.Array,  # [N, M, 8] cached payloads
+    valid: jax.Array,  # [N, M]
+    query_xyz: jax.Array,
+    query_mask: jax.Array,
+    max_dist,
+    k: int = 1,
+) -> MatchResult:
+    """Candidate-major re-rank: top-k as a MASK, no row gathers.
+
+    Returns a MatchResult whose pair axis is the full candidate capacity M
+    (not k): non-top-k / out-of-radius slots carry INF dist / INVALID id /
+    zero payloads. The SET of surviving pairs is identical to
+    :func:`match_from_candidates` (k nearest within the radius), but the
+    layout keeps every consumer a fused streaming pass over ``rows`` —
+    measured on TPU v5e, ``take_along_axis`` of the selected rows runs at
+    ~2 GB/s (8.7 ms for 64k x 8 x 8) while ``top_k`` on the distance matrix
+    is 0.37 ms; masking instead of gathering removes the entire cost.
+    Weighted LS downstream is unchanged: masked pairs get weight zero.
+    """
+    dtype = query_xyz.dtype
+    radius = jnp.asarray(max_dist, dtype)
+    max_d2 = (radius * radius).reshape(-1, 1) if radius.ndim == 1 else radius * radius
+
+    diff = rows[..., :3] - query_xyz[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(valid, d2, INF)
+    cand_ids = jax.lax.bitcast_convert_type(rows[..., _IDX_CH], jnp.int32)
+
+    if k < rows.shape[1]:
+        # k-th smallest distance per query = selection threshold. Ties at
+        # the threshold admit a few extra equal-distance pairs (harmless
+        # for weighted LS).
+        neg_topk, _ = jax.lax.top_k(-d2, k)
+        kth = -neg_topk[:, k - 1]
+        sel = d2 <= kth[:, None]
+    else:
+        sel = jnp.ones_like(valid)
+
+    invalid = ~sel | (d2 > max_d2) | ~query_mask[:, None]
+    return MatchResult(
+        dists=jnp.where(invalid, INF, d2),
+        ids=jnp.where(invalid, INVALID_ID, cand_ids),
+        xyz=jnp.where(invalid[..., None], 0.0, rows[..., :3]),
+        normals=jnp.where(invalid[..., None], 0.0, rows[..., _NRM]),
     )
 
 

@@ -200,3 +200,26 @@ def test_cell_match_per_point_radius(rng):
     clear = np.abs(d_ref - radii) > 1e-4
     np.testing.assert_array_equal(valid[clear], expect[clear])
     np.testing.assert_array_equal(np.asarray(res.ids)[valid & clear, 0], i_ref[valid & clear])
+
+
+def test_masked_candidate_match_same_pairs_as_compact(rng):
+    """match_candidates_masked selects exactly the same (query, ref) pair set
+    as the compact top-k selection, just in candidate-major layout."""
+    from open3d_slam_private_tpu.ops import cell_list, grid_hash
+
+    r = rng.uniform(-4, 4, size=(3000, 3)).astype(np.float32)
+    nrm = rng.normal(size=(3000, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    q = rng.uniform(-4, 4, size=(500, 3)).astype(np.float32)
+    radius = 0.5
+    cl = cell_list.build_cell_list(jnp.asarray(r), jnp.ones(3000, bool), radius,
+                                   1 << 13, 48, normals=jnp.asarray(nrm))
+    rows, valid = cell_list.gather_cell_candidates(cl, jnp.asarray(q), jnp.ones(500, bool))
+    compact = grid_hash.match_from_candidates(rows, valid, jnp.asarray(q),
+                                              jnp.ones(500, bool), radius, k=4)
+    masked = grid_hash.match_candidates_masked(rows, valid, jnp.asarray(q),
+                                               jnp.ones(500, bool), radius, k=4)
+    for n in range(500):
+        a = set(np.asarray(compact.ids)[n][np.asarray(compact.valid())[n]].tolist())
+        b = set(np.asarray(masked.ids)[n][np.asarray(masked.valid())[n]].tolist())
+        assert a == b, (n, a, b)
