@@ -439,7 +439,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
 
         max_d2 = cfg.max_match_dist**2
 
-        def round_body(s, _):
+        def round_body(s):
             src0 = se3.apply_transform(s["T"], reading.xyz)
             if cfg.packed_payload:
                 rows, valid, org = cell_mod.gather_packed_candidates(
@@ -464,7 +464,12 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             # staleness, so this matches the cache-mode contract.
             pair_ok = res0.ids >= 0
 
-            def inner(si, _):
+            def inner_cond(st):
+                si, i = st
+                return (i < R) & ~si["done"] & (si["it"] < max_iterations)
+
+            def inner_body(st):
+                si, i = st
                 src = se3.apply_transform(si["T"], reading.xyz)
                 d2 = jnp.sum((src[:, None, :] - res0.xyz) ** 2, axis=-1)
                 invalid = ~pair_ok | (d2 > max_d2)
@@ -474,12 +479,27 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                     xyz=res0.xyz,
                     normals=res0.normals,
                 )
-                return masked(si, gn_update(si["T"], src, res)), None
+                return masked(si, gn_update(si["T"], src, res)), i + 1
 
-            s, _ = jax.lax.scan(inner, s, None, length=R)
-            return s, None
+            # while_loop (not a fixed scan): converged problems stop paying
+            # for the remaining round iterations. Under vmap the trip count
+            # is the max over the batch; ``masked`` keeps lanes correct.
+            s, _ = jax.lax.while_loop(
+                inner_cond, inner_body, (s, jnp.asarray(0, jnp.int32))
+            )
+            return s
 
-        final, _ = jax.lax.scan(round_body, state0, None, length=rounds)
+        def rounds_cond(st):
+            s, r = st
+            return (r < rounds) & ~s["done"] & (s["it"] < max_iterations)
+
+        def rounds_body(st):
+            s, r = st
+            return round_body(s), r + 1
+
+        final, _ = jax.lax.while_loop(
+            rounds_cond, rounds_body, (state0, jnp.asarray(0, jnp.int32))
+        )
         return final
 
     def body(s):
