@@ -77,6 +77,9 @@ def _cmd_run_slam(args) -> int:
     cfg = slam_config_from_yaml(args.config) if args.config else SlamConfig()
     pipe = SlamPipeline(cfg)
 
+    if args.scans.endswith(".bag"):
+        return _run_slam_from_bag(args, pipe)
+
     scans = sorted(glob.glob(os.path.join(args.scans, "*")))
     scans = [s for s in scans if s.lower().endswith((".ply", ".pcd", ".csv", ".vtk"))]
     if not scans:
@@ -112,6 +115,60 @@ def _cmd_run_slam(args) -> int:
                 rows.append(np.r_[t, T[:3, 3], T[:3, :3].flatten()])
         np.savetxt(args.save_trajectory, np.asarray(rows))
         print(f"trajectory saved to {args.save_trajectory}")
+    return 0
+
+
+def _run_slam_from_bag(args, pipe) -> int:
+    """Deterministic rosbag replay (≙ RosbagRangeDataProcessorRos): clouds
+    drive the pipeline in bag order; odometry messages become external
+    priors when the config requests them."""
+    import jax.numpy as jnp
+
+    from open3d_slam_private_tpu.geometry import se3
+    from open3d_slam_private_tpu.io import rosbag, sensor_msgs
+    from open3d_slam_private_tpu.ops import pointcloud as pc
+
+    cap = args.capacity
+    n_scans = n_odom = n_imu = 0
+    last_odom = None
+    t_start = time.perf_counter()
+    for topic, dtype, stamp, msg in rosbag.read_bag_decoded(args.scans):
+        if dtype == "sensor_msgs/PointCloud2":
+            if args.max_scans and n_scans >= args.max_scans:
+                break
+            batch = sensor_msgs.deserialize(msg, capacity=cap)
+            ext = None
+            if last_odom is not None and pipe.cfg.use_external_odometry:
+                q = last_odom.quaternion
+                R = np.asarray(
+                    se3.matrix_from_quat(
+                        jnp.asarray([q[3], q[0], q[1], q[2]], jnp.float32)
+                    )
+                )
+                ext = np.eye(4)
+                ext[:3, :3] = R
+                ext[:3, 3] = last_odom.position
+            stats = pipe.process_scan(batch, time=float(stamp), external_odom_pose=ext)
+            n_scans += 1
+            pose = pipe.pose
+            print(
+                f"[{n_scans}] t={stamp:.3f} pos=({pose[0, 3]:.2f} {pose[1, 3]:.2f} "
+                f"{pose[2, 3]:.2f}) overlap={stats.get('overlap', 0):.2f} "
+                f"submaps={len(pipe.submaps)}"
+            )
+        elif dtype in ("nav_msgs/Odometry", "geometry_msgs/PoseStamped"):
+            last_odom = msg
+            n_odom += 1
+        elif dtype == "sensor_msgs/Imu":
+            n_imu += 1
+    wall = time.perf_counter() - t_start
+    print(
+        f"bag replay: {n_scans} clouds, {n_odom} odometry, {n_imu} imu msgs "
+        f"in {wall:.1f}s"
+    )
+    if args.save_map:
+        pipe.save_map(args.save_map)
+        print(f"map saved to {args.save_map}")
     return 0
 
 
