@@ -115,6 +115,14 @@ def _cmd_run_slam(args) -> int:
                 rows.append(np.r_[t, T[:3, 3], T[:3, :3].flatten()])
         np.savetxt(args.save_trajectory, np.asarray(rows))
         print(f"trajectory saved to {args.save_trajectory}")
+    if args.viz:
+        from open3d_slam_private_tpu import viz
+
+        traj = np.asarray([pipe.map_pose_buffer.lookup(i * 0.1)[:3, 3]
+                           for i in range(len(scans))
+                           if pipe.map_pose_buffer.has(i * 0.1)])
+        viz.render_topdown(pipe.assembled_map(), trajectory=traj, path=args.viz)
+        print(f"viz written to {args.viz}")
     return 0
 
 
@@ -131,6 +139,7 @@ def _run_slam_from_bag(args, pipe) -> int:
     cap = args.capacity
     n_scans = n_odom = n_imu = 0
     last_odom = None
+    traj_log = []
     t_start = time.perf_counter()
     for topic, dtype, stamp, msg in rosbag.read_bag_decoded(args.scans):
         if dtype == "sensor_msgs/PointCloud2":
@@ -151,6 +160,7 @@ def _run_slam_from_bag(args, pipe) -> int:
             stats = pipe.process_scan(batch, time=float(stamp), external_odom_pose=ext)
             n_scans += 1
             pose = pipe.pose
+            traj_log.append(np.asarray(pose[:3, 3]))
             print(
                 f"[{n_scans}] t={stamp:.3f} pos=({pose[0, 3]:.2f} {pose[1, 3]:.2f} "
                 f"{pose[2, 3]:.2f}) overlap={stats.get('overlap', 0):.2f} "
@@ -169,6 +179,13 @@ def _run_slam_from_bag(args, pipe) -> int:
     if args.save_map:
         pipe.save_map(args.save_map)
         print(f"map saved to {args.save_map}")
+    if getattr(args, "viz", None):
+        from open3d_slam_private_tpu import viz
+
+        viz.render_topdown(
+            pipe.assembled_map(), trajectory=np.asarray(traj_log), path=args.viz
+        )
+        print(f"viz written to {args.viz}")
     return 0
 
 
@@ -228,6 +245,7 @@ def main(argv=None) -> int:
     ps.add_argument("--max-scans", type=int, default=0)
     ps.add_argument("--save-map")
     ps.add_argument("--save-trajectory")
+    ps.add_argument("--viz", help="write a top-down PNG render of map + trajectory")
     ps.set_defaults(fn=_cmd_run_slam)
 
     pl = sub.add_parser("list-modules", help="list supported chain modules")

@@ -46,3 +46,43 @@ def test_manifest_roundtrip(rng, tmp_path):
     assert len(cases) == 1
     np.testing.assert_allclose(cases[0].T_gt, gt)
     assert cases[0].reading.shape == ref.shape
+
+
+def test_viz_png_roundtrip(tmp_path, rng):
+    """PNG writer emits decodable files; map+trajectory renders deterministic."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from open3d_slam_private_tpu import viz
+
+    pts = rng.uniform(-5, 5, size=(5000, 3)).astype(np.float32)
+    pts[:, 2] = 0.2 * pts[:, 0]
+    traj = np.stack([np.linspace(-4, 4, 20), np.zeros(20), np.zeros(20)], 1)
+    out = str(tmp_path / "map.png")
+    img = viz.render_topdown(pts, trajectory=traj, size=256, path=out)
+    raw = open(out, "rb").read()
+    assert raw.startswith(b"\x89PNG\r\n\x1a\n")
+    # parse IHDR
+    assert raw[12:16] == b"IHDR"
+    w, h = _struct.unpack(">II", raw[16:24])
+    assert (w, h) == (256, 256)
+    # IDAT decompresses to h * (1 + w*3) filtered bytes
+    idat_off = raw.index(b"IDAT") - 4
+    (ilen,) = _struct.unpack(">I", raw[idat_off:idat_off + 4])
+    body = raw[idat_off + 8 : idat_off + 8 + ilen]
+    assert len(_zlib.decompress(body)) == h * (1 + w * 3)
+    # trajectory drawn in red along the middle row band
+    red = (img[:, :, 0] > 200) & (img[:, :, 1] < 100)
+    assert red.sum() > 50
+    img2 = viz.render_topdown(pts, trajectory=traj, size=256)
+    np.testing.assert_array_equal(img, img2)
+
+
+def test_viz_render_matches(tmp_path, rng):
+    from open3d_slam_private_tpu import viz
+
+    src = rng.uniform(-1, 1, size=(300, 3))
+    tgt = src + 0.1
+    img = viz.render_matches(src, tgt, size=128, path=str(tmp_path / "m.png"))
+    assert img.shape == (128, 128, 3)
+    assert (img.sum(axis=2) > 0).sum() > 100
