@@ -66,7 +66,7 @@ class MapperConfig:
             min_diff_trans=8e-3,
             coarse_iterations=20,
             coarse_stride=4,
-            candidate_refresh_every=5,
+            candidate_refresh_every=10,
             candidate_slack=0.25,
             fast_trimming=True,
             degeneracy=DegeneracyConfig(method="none"),
