@@ -49,6 +49,7 @@ class OdometryConfig:
             max_iterations=20,
             min_diff_rot=1e-3,
             min_diff_trans=1e-3,
+            candidate_refresh_every=5,
         )
     )
     min_fitness: float = 0.1  # ≙ Odometry.cpp:56 fitness gate
