@@ -189,6 +189,34 @@ def _run_slam_from_bag(args, pipe) -> int:
     return 0
 
 
+def _cmd_evaluate(args) -> int:
+    from open3d_slam_private_tpu import evaluation
+    from open3d_slam_private_tpu.config import icp_config_from_yaml
+    from open3d_slam_private_tpu.models import icp as icp_mod
+
+    cfg = (
+        icp_config_from_yaml(args.config)
+        if args.config
+        else icp_mod.ICPConfig(knn=8, max_match_dist=1.0, matcher="grid",
+                               trimmed_ratio=0.9)
+    )
+    cases = evaluation.load_manifest(args.manifest)
+    if args.max_cases:
+        cases = cases[: args.max_cases]
+    results, summary = evaluation.evaluate(cases, cfg)
+    for r in results:
+        print(
+            f"{r.name or '?':24s} trans={r.trans_err_m:.4f}m "
+            f"rot={r.rot_err_rad:.5f}rad it={r.iterations} "
+            f"conv={r.converged} {r.wall_s * 1e3:.0f}ms"
+        )
+    print(json.dumps(summary))
+    if args.report:
+        evaluation.write_report(args.report, results, summary)
+        print(f"report written to {args.report}")
+    return 0
+
+
 def _cmd_list_modules(args) -> int:
     from open3d_slam_private_tpu.config.registry import FILTER_REGISTRY
 
@@ -253,6 +281,13 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="run the benchmark")
     pb.set_defaults(fn=_cmd_bench)
+
+    pe = sub.add_parser("evaluate", help="eval_solution-style protocol over a manifest")
+    pe.add_argument("manifest", help="CSV: reading,reference,gt_00..gt_33[,init_..]")
+    pe.add_argument("--config", help="libpointmatcher-style icp.yaml")
+    pe.add_argument("--max-cases", type=int, default=0)
+    pe.add_argument("--report", help="write a markdown report here")
+    pe.set_defaults(fn=_cmd_evaluate)
 
     args = p.parse_args(argv)
     return args.fn(args)
