@@ -81,6 +81,7 @@ def main():
         coarse_stride=8,
         candidate_refresh_every=10,
         candidate_slack=0.25,
+        fused_kernel=True,
         fast_trimming=True,
     )
 

@@ -108,6 +108,14 @@ class ICPConfig:
     candidate_refresh_every: int = 0
     candidate_slack: float = 0.25
 
+    # Fused Pallas pair-GN kernel for the cached rounds (opt-in): one
+    # streaming kernel per iteration computes distances, frozen-threshold
+    # trimming and the full 6x6 normal equations without materializing any
+    # [N, K] intermediate. Applies only to the plain point-to-plane chain
+    # (no degeneracy handling / robust weights / normal gate / sharding);
+    # other configs silently use the XLA path.
+    fused_kernel: bool = False
+
     # Multi-device: when set, the reading's point axis is sharded over this
     # mesh axis (inside shard_map); partial 6x6 blocks are psum-reduced and
     # trimming quantiles computed on all-gathered distances. The TP/SP
@@ -212,11 +220,17 @@ def _match(src_xyz, src_mask, ref: ICPReference, cfg: ICPConfig) -> grid_mod.Mat
     return grid_mod.MatchResult(dists=res.dists, ids=res.ids, xyz=q, normals=mn)
 
 
-def _weights(res, reading, matched_normals_flat, cfg: ICPConfig):
-    """Composed outlier weights [N * k]."""
+def _weights(res, reading, matched_normals_flat, cfg: ICPConfig, trim_limit=None):
+    """Composed outlier weights [N * k].
+
+    ``trim_limit``: optional precomputed TrimmedDist threshold — the
+    pair-cached rounds freeze it at selection time so in-round iterations
+    skip the histogram/quantile entirely."""
     valid = res.valid()
     w = valid.astype(jnp.float32)
-    if cfg.trimmed_ratio is not None:
+    if cfg.trimmed_ratio is not None and trim_limit is not None:
+        w = w * ((res.dists <= trim_limit) & valid).astype(jnp.float32)
+    elif cfg.trimmed_ratio is not None:
         if cfg.shard_axis is not None:
             # Global trimming quantile across all shards of the point axis.
             from open3d_slam_private_tpu.ops.pointcloud import masked_quantile
@@ -290,14 +304,14 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
 
     n_valid = jnp.maximum(_allsum(reading.count().astype(dtype)), 1.0)
 
-    def gn_update(T, src, res):
+    def gn_update(T, src, res, trim_limit=None):
         # Pair axis M: cfg.knn for gathered matches, full candidate capacity
         # for the masked candidate-major layout (extra slots carry w = 0).
         m = res.ids.shape[1]
         A_out = jnp.zeros((6, 6), src.dtype)
         q = res.xyz.reshape(-1, 3)
         mn = res.normals.reshape(-1, 3)
-        w = _weights(res, reading, mn, cfg)
+        w = _weights(res, reading, mn, cfg, trim_limit=trim_limit)
         src_flat = jnp.repeat(src, m, axis=0)
         pair_mask = res.valid().reshape(-1)
 
@@ -455,6 +469,15 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                     rows, valid, src0, reading.mask, cfg.max_match_dist, cfg.knn
                 )
 
+            # Round-frozen trimming: locate the TrimmedDist threshold once
+            # per round from the selection distances (histogram path), so
+            # in-round iterations skip the scatter-add + cumsum entirely.
+            trim_limit = None
+            if cfg.trimmed_ratio is not None and cfg.fast_trimming and cfg.shard_axis is None:
+                trim_limit = outliers.trimmed_dist_limit(
+                    res0.dists, res0.valid(), cfg.trimmed_ratio,
+                    cfg.max_match_dist**2,
+                )
             # Pair caching: correspondences are SELECTED once per round (the
             # top-k compaction is the expensive step — ~10 ms at 64k x 48 on
             # v5e) and held fixed for the round's iterations; distances,
@@ -464,12 +487,47 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             # staleness, so this matches the cache-mode contract.
             pair_ok = res0.ids >= 0
 
+            fused_ok = (
+                cfg.fused_kernel
+                and cfg.minimizer == "point_to_plane"
+                and not cfg.force_4dof
+                and not cfg.force_2d
+                and cfg.degeneracy.method == "none"
+                and cfg.shard_axis is None
+                and cfg.var_trimmed is None
+                and cfg.median_factor is None
+                and cfg.robust is None
+                and cfg.normal_angle_max is None
+                and cfg.knn <= 8
+            )
+            if fused_ok:
+                from open3d_slam_private_tpu.kernels import pair_gn_pallas as pgk
+
+                soa = pgk.prepare_pairs(
+                    reading.xyz, res0.xyz, res0.normals, pair_ok
+                )
+                tau = trim_limit if trim_limit is not None else jnp.inf
+                denom = n_valid * cfg.knn
+
+                def fused_step(T):
+                    A, b, sw, swr2, nok = pgk.pair_gn_step(
+                        soa, T, tau, max_d2,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+                    x = minimizers.solve_spd_unrolled(A, b)
+                    dT = minimizers.delta_transform_from_x(x)
+                    loc = xicp._identity_result(dtype)
+                    resid = jnp.sqrt(swr2 / jnp.maximum(sw, 1e-9))
+                    return dT, loc, nok / denom, sw / denom, resid, A
+
             def inner_cond(st):
                 si, i = st
                 return (i < R) & ~si["done"] & (si["it"] < max_iterations)
 
             def inner_body(st):
                 si, i = st
+                if fused_ok:
+                    return masked(si, fused_step(si["T"])), i + 1
                 src = se3.apply_transform(si["T"], reading.xyz)
                 d2 = jnp.sum((src[:, None, :] - res0.xyz) ** 2, axis=-1)
                 invalid = ~pair_ok | (d2 > max_d2)
@@ -479,7 +537,10 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                     xyz=res0.xyz,
                     normals=res0.normals,
                 )
-                return masked(si, gn_update(si["T"], src, res)), i + 1
+                return (
+                    masked(si, gn_update(si["T"], src, res, trim_limit=trim_limit)),
+                    i + 1,
+                )
 
             # while_loop (not a fixed scan): converged problems stop paying
             # for the remaining round iterations. Under vmap the trip count

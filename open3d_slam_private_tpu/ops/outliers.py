@@ -130,15 +130,14 @@ def mad_scale(dists: jax.Array, valid: jax.Array) -> jax.Array:
     return 1.4826 * mad
 
 
-def trimmed_dist_histogram(
+def trimmed_dist_limit(
     dists: jax.Array, valid: jax.Array, ratio: float, max_d2, bins: int = 256
 ) -> jax.Array:
-    """Sort-free TrimmedDist: the keep-threshold is located with a fixed
-    histogram over [0, max_d2] instead of an O(N log N) sort — O(N) VPU work,
-    threshold resolution max_d2/bins (points within one bin of the exact
-    quantile may flip). The production fast path for the jitted ICP loop;
-    the exact nth-element variant stays the default.
-    """
+    """Histogram-located TrimmedDist keep-threshold (scalar).
+
+    Resolution max_d2/bins; used by :func:`trimmed_dist_histogram` and by
+    the pair-cached ICP rounds, which freeze the threshold once per round
+    (same staleness contract as the cached pair selection)."""
     max_d2 = jnp.asarray(max_d2, dists.dtype)
     d = dists.reshape(-1)
     v = valid.reshape(-1)
@@ -153,5 +152,17 @@ def trimmed_dist_histogram(
     # First bin whose cumulative count reaches the target.
     reached = csum >= target
     first = jnp.argmax(reached)
-    limit = (first.astype(dists.dtype) + 1.0) / bins * max_d2
+    return (first.astype(dists.dtype) + 1.0) / bins * max_d2
+
+
+def trimmed_dist_histogram(
+    dists: jax.Array, valid: jax.Array, ratio: float, max_d2, bins: int = 256
+) -> jax.Array:
+    """Sort-free TrimmedDist: the keep-threshold is located with a fixed
+    histogram over [0, max_d2] instead of an O(N log N) sort — O(N) VPU work,
+    threshold resolution max_d2/bins (points within one bin of the exact
+    quantile may flip). The production fast path for the jitted ICP loop;
+    the exact nth-element variant stays the default.
+    """
+    limit = trimmed_dist_limit(dists, valid, ratio, max_d2, bins)
     return ((dists <= limit) & valid).astype(dists.dtype)
