@@ -108,6 +108,19 @@ class ICPConfig:
     candidate_refresh_every: int = 0
     candidate_slack: float = 0.25
 
+    # Anderson acceleration AA(1) on the SE(3) chart (opt-in; AA-ICP,
+    # arxiv 1709.05479 / Fast-and-Robust ICP, arxiv 2007.07627): the GN/ICP
+    # update is a fixed-point map; mixing the current and previous mapped
+    # iterates with the secant-optimal coefficient extrapolates convergence.
+    # For a contraction with ratio rho the secant-optimal theta is
+    # ~ -1/(1-rho), so the safeguard clamps theta to [-anderson_max, 0]
+    # (extrapolation only) and caps the accelerated correction at
+    # 10x the plain step norm; non-finite -> plain step. Most useful for
+    # vanilla high-iteration chains; the coarse-to-fine cached schedule
+    # already converges in ~7 iterations.
+    anderson: bool = False
+    anderson_max: float = 25.0
+
     # Fused Pallas pair-GN kernel for the cached rounds (opt-in): one
     # streaming kernel per iteration computes distances, frozen-threshold
     # trimming and the full 6x6 normal equations without materializing any
@@ -397,6 +410,9 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
         converged=jnp.asarray(False),
         aborted=jnp.asarray(False),
         A=jnp.zeros((6, 6), dtype),
+        aa_G=jnp.zeros((6,), dtype),
+        aa_f=jnp.zeros((6,), dtype),
+        aa_have=jnp.asarray(False),
     )
 
     def cond(s):
@@ -405,6 +421,34 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
     def advance(s, step_out):
         dT, loc, match_ratio, overlap, resid, A_out = step_out
         T_new = dT @ s["T"]
+        if cfg.anderson:
+            # AA(1): u_{k+1} = G(u_k) - theta (G(u_k) - G(u_{k-1})),
+            # theta = <f_k, f_k - f_{k-1}> / ||f_k - f_{k-1}||^2 with
+            # f_k = G(u_k) - u_k, all in the se(3) log chart.
+            xi_G = se3.log_se3(T_new)
+            f_k = xi_G - se3.log_se3(s["T"])
+            df = f_k - s["aa_f"]
+            denom = jnp.sum(df * df)
+            theta = jnp.where(
+                s["aa_have"] & (denom > 1e-14), jnp.sum(f_k * df) / denom, 0.0
+            )
+            theta = jnp.clip(
+                jnp.where(jnp.isfinite(theta), theta, 0.0),
+                -cfg.anderson_max, 0.0,
+            )
+            xi_acc = xi_G - theta * (xi_G - s["aa_G"])
+            # Trust guard: cap the accelerated correction at 10x the plain
+            # step; runaway extrapolation falls back to the plain step.
+            corr = jnp.linalg.norm(xi_acc - xi_G)
+            fnorm = jnp.linalg.norm(f_k)
+            ok = jnp.isfinite(corr) & (corr <= 10.0 * fnorm + 1e-12)
+            xi_acc = jnp.where(ok, xi_acc, xi_G)
+            T_new = se3.exp_se3(xi_acc)
+            aa_state = dict(aa_G=xi_G, aa_f=f_k, aa_have=jnp.asarray(True))
+        else:
+            aa_state = dict(
+                aa_G=s["aa_G"], aa_f=s["aa_f"], aa_have=s["aa_have"]
+            )
         # Differential checker deltas between consecutive transforms.
         dr = se3.rotation_angular_distance(T_new[:3, :3], s["T"][:3, :3])
         dt = jnp.linalg.norm(T_new[:3, 3] - s["T"][:3, 3])
@@ -435,6 +479,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             converged=converged & ~aborted,
             aborted=aborted,
             A=A_out,
+            **aa_state,
         )
 
     if cfg.candidate_refresh_every > 0 and cfg.matcher == "grid":

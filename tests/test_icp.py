@@ -470,3 +470,38 @@ def test_unrolled_spd_solver_matches_numpy(rng):
         b = rng.normal(size=n).astype(np.float32)
         x = np.asarray(minimizers.solve_spd_unrolled(jnp.asarray(A), jnp.asarray(b), damping=0.0))
         np.testing.assert_allclose(A @ x, b, atol=2e-4 * np.abs(b).max() + 1e-4)
+
+
+def test_anderson_acceleration_reduces_iterations(rng):
+    """AA(1) (AA-ICP, arxiv 1709.05479) cuts vanilla-ICP iterations on a
+    slow-converging problem and lands on the same pose."""
+    import dataclasses
+
+    from open3d_slam_private_tpu.ops import normals as normals_mod
+
+    ref_pts = rng.uniform(-6, 6, size=(5000, 3)).astype(np.float32)
+    ref_pts[:, 2] = 0.4 * np.sin(ref_pts[:, 0]) + 0.4 * np.cos(ref_pts[:, 1] * 0.7)
+    read = ref_pts[::2] + rng.normal(scale=0.01, size=(2500, 3)).astype(np.float32)
+
+    # Vanilla chain: point-to-point (slow linear convergence), no coarse
+    # phase, tight differential thresholds.
+    cfg = icp_mod.ICPConfig(
+        knn=1, max_match_dist=1.5, matcher="grid", grid_table_size=1 << 13,
+        minimizer="point_to_point", max_iterations=60,
+        min_diff_rot=5e-5, min_diff_trans=5e-5,
+    )
+    ref_b = normals_mod.estimate_normals(
+        pc.from_points(jnp.asarray(ref_pts), capacity=8192), knn=10)
+    reference = icp_mod.build_reference(ref_b, cfg)
+    reading = pc.from_points(jnp.asarray(read), capacity=4096)
+    T0 = jnp.eye(4).at[0, 3].set(0.4).at[1, 3].set(-0.3)
+
+    plain = icp_mod.icp_single(reading, reference, T0, cfg)
+    aa = icp_mod.icp_single(
+        reading, reference, T0, dataclasses.replace(cfg, anderson=True))
+    assert bool(plain.converged) and bool(aa.converged)
+    assert int(aa.iterations) <= int(plain.iterations)
+    np.testing.assert_allclose(
+        np.asarray(aa.transform)[:3, 3], np.asarray(plain.transform)[:3, 3],
+        atol=5e-3,
+    )
