@@ -1,16 +1,22 @@
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
 Headline (BASELINE.md): scan-to-map registrations/s/chip at 64k reading
-points against a voxelized submap, full X-ICP-style chain (grid-hash
-matcher, trimmed outliers, fused point-to-plane GN, 30-iteration budget
-with differential convergence). Baseline target: 2000/s on a v5p-8 host
-= 250/s/chip; vs_baseline is measured against that per-chip figure.
+points against a voxelized submap running the PRODUCTION chain — the full
+X-ICP degeneracy-aware configuration the reference ships
+(param/icp.yaml: KDTree knn=1 maxDist=0.5, trimmed 0.9, point-to-plane,
+degeneracyAwareness OptimizedEqualityConstraints, differential checkers) —
+on a hard workload: independent sensor noise, partial visibility (240 deg
+azimuthal wedge + 45 m range), 3% outlier clutter, ~0.1 m / ~1.2 deg
+initial error. Baseline target: 2000/s on a v5p-8 host = 250/s/chip;
+vs_baseline is measured against that per-chip figure.
 
-Also measures (reported in the `extra` field, not the headline line):
-p50 single-registration latency (10 Hz budget: 100 ms) and batched
-multi-hypothesis throughput.
+Also measured (the `extra` field): the lighter no-degeneracy chain,
+p50 single-registration latency (10 Hz budget: 100 ms), max translation
+AND rotation error vs ground truth, and the 4096-hypothesis
+relocalization burst.
 """
 
+import dataclasses
 import json
 import os
 import time
@@ -46,17 +52,47 @@ def synth_scene(n_ref, seed=0):
     return pts + rng.normal(size=pts.shape).astype(np.float32) * 0.01
 
 
-def sample_scan(scene, n, T_inv, seed):
+def sample_scan(
+    scene,
+    n,
+    T_inv,
+    seed,
+    sensor=(4.0, 2.0, 1.5),
+    wedge_deg=240.0,
+    max_range=45.0,
+    noise=0.015,
+    outlier_frac=0.03,
+):
+    """A hard, honest reading: partial visibility (azimuthal wedge + range
+    gate from a sensor position), fresh independent sensor noise, and a
+    fraction of outlier clutter points that exist nowhere in the map
+    (dynamic objects); the chain's trimming must reject them."""
     rng = np.random.default_rng(seed)
-    sel = rng.integers(0, len(scene), size=n)
-    pts = scene[sel]
+    s = np.asarray(sensor, np.float32)
+    rel = scene - s[None, :]
+    az = np.degrees(np.arctan2(rel[:, 1], rel[:, 0]))
+    r = np.linalg.norm(rel, axis=1)
+    visible = (np.abs(az) <= wedge_deg / 2.0) & (r <= max_range)
+    idx = np.flatnonzero(visible)
+    n_out = int(n * outlier_frac)
+    sel = rng.choice(idx, size=n - n_out, replace=len(idx) < n - n_out)
+    pts = scene[sel] + rng.normal(size=(n - n_out, 3)).astype(np.float32) * noise
+    clutter = np.c_[
+        rng.uniform(-20, 20, (n_out, 2)), rng.uniform(0.2, 3.0, (n_out, 1))
+    ].astype(np.float32) + s[None, :] * np.array([1, 1, 0], np.float32)
+    pts = np.vstack([pts, clutter]).astype(np.float32)
     R, t = np.asarray(T_inv)[:3, :3], np.asarray(T_inv)[:3, 3]
     return (pts @ R.T + t).astype(np.float32)
+
+
+def rot_angle(R):
+    return float(np.arccos(np.clip((np.trace(R) - 1) / 2, -1.0, 1.0)))
 
 
 def main():
     from open3d_slam_private_tpu.geometry import se3
     from open3d_slam_private_tpu.models import icp as icp_mod
+    from open3d_slam_private_tpu.models.localizability import DegeneracyConfig
     from open3d_slam_private_tpu.ops import normals as normals_mod
     from open3d_slam_private_tpu.ops import pointcloud as pc
     from open3d_slam_private_tpu.ops import voxel
@@ -66,7 +102,7 @@ def main():
     B = 8  # concurrent registrations per chip
     ROUNDS = 6
 
-    cfg = icp_mod.ICPConfig(
+    light_cfg = icp_mod.ICPConfig(
         knn=1,
         max_match_dist=0.5,
         matcher="grid",
@@ -84,6 +120,13 @@ def main():
         fused_kernel=True,
         fast_trimming=True,
     )
+    # The PRODUCTION chain: X-ICP OptimizedEqualityConstraints every
+    # iteration, exactly like the reference's param/icp.yaml.
+    xicp_cfg = dataclasses.replace(
+        light_cfg,
+        fused_kernel=False,  # fused kernel covers the plain chain only
+        degeneracy=DegeneracyConfig(method="equality_constraints"),
+    )
 
     # Build the submap: dense scene voxelized to 0.15 m with normals.
     from open3d_slam_private_tpu.ops import grid_hash
@@ -95,67 +138,69 @@ def main():
     submap = normals_mod.estimate_normals_grid(
         submap, ngrid, knn=8, max_dist=0.5, orient_towards=(0.0, 0.0, 20.0)
     )
-    ref = icp_mod.build_reference(submap, cfg)
+    ref = icp_mod.build_reference(submap, xicp_cfg)
 
-    # Readings: B scans at 64k points with small true offsets + odometry
-    # prior ~5 cm off.
-    T_trues, scans, priors = [], [], []
+    # Readings: B hard scans at 64k points with distinct true offsets.
+    T_trues, scans = [], []
     for i in range(B):
         twist = np.array([0.01, -0.008, 0.012, 0.08, -0.05, 0.03], np.float32) * (1 + 0.1 * i)
         T_true = se3.exp_se3(jnp.asarray(twist))
         T_inv = se3.transform_inverse(T_true)
         scans.append(pc.from_points(sample_scan(scene, N_READ, T_inv, seed=i), capacity=N_READ))
-        prior = np.asarray(T_true) @ np.asarray(
-            se3.exp_se3(jnp.asarray([0.004, 0, -0.003, 0.03, 0.02, -0.01], jnp.float32))
-        )
-        priors.append(prior.astype(np.float32))
         T_trues.append(np.asarray(T_true))
     readings = pc.stack(scans)
-    init_Ts = jnp.asarray(np.stack(priors))
+
+    # Initial error per round: ~0.1 m translation + ~1.2 deg rotation (a
+    # much larger odometry-prior error than round 1's 5 cm).
+    perturb = jnp.asarray(
+        se3.exp_se3(jnp.asarray([0.012, -0.008, 0.015, 0.06, 0.05, -0.06], jnp.float32))
+    )
+    init_Ts = jnp.asarray(np.stack([np.asarray(T) @ np.asarray(perturb) for T in T_trues]))
 
     from open3d_slam_private_tpu.utils.timing import relay_roundtrip
-
-    # Each round registers from the previous round's result perturbed by a
-    # fixed ~5 cm/0.3 deg offset: a real data dependency (the relay's
-    # block_until_ready is unreliable, so timing must chain through data)
-    # with representative per-round work.
-    perturb = jnp.asarray(
-        se3.exp_se3(jnp.asarray([0.004, 0, -0.003, 0.03, 0.02, -0.01], jnp.float32))
-    )
-
-    @jax.jit
-    def chain_round(Ts):
-        res = jax.vmap(lambda r, T: icp_mod.icp_single(r, ref, T, cfg))(readings, Ts)
-        return res.transform @ perturb, res.iterations
 
     def sync(x):
         return float(jnp.sum(x))
 
-    # Warmup / compile.
-    Ts, iters = chain_round(init_Ts)
-    sync(Ts)
     rt = relay_roundtrip()
 
-    t0 = time.perf_counter()
-    for _ in range(ROUNDS):
-        Ts, iters = chain_round(Ts)
-    sync(Ts)
-    dt = time.perf_counter() - t0 - rt
-    regs_per_s = ROUNDS * B / dt
-    mean_iters = float(np.mean(np.asarray(iters)))
-    out = Ts @ jnp.linalg.inv(perturb)
+    # Each round registers from the previous round's result perturbed by the
+    # fixed offset: a real data dependency (the relay's block_until_ready is
+    # unreliable, so timing must chain through data).
+    def measure(cfg):
+        @jax.jit
+        def chain_round(Ts):
+            res = jax.vmap(lambda r, T: icp_mod.icp_single(r, ref, T, cfg))(readings, Ts)
+            return res.transform @ perturb, res.iterations
 
-    # Accuracy sanity: every registration within tolerance of truth.
-    errs = []
-    for i in range(B):
-        delta = np.linalg.inv(np.asarray(out)[i]) @ T_trues[i]
-        errs.append(np.linalg.norm(delta[:3, 3]))
-    max_trans_err = float(np.max(errs))
+        Ts, iters = chain_round(init_Ts)
+        sync(Ts)
+        t0 = time.perf_counter()
+        for _ in range(ROUNDS):
+            Ts, iters = chain_round(Ts)
+        sync(Ts)
+        dt = time.perf_counter() - t0 - rt
+        out = np.asarray(Ts @ jnp.linalg.inv(perturb))
+        errs_t, errs_r = [], []
+        for i in range(B):
+            delta = np.linalg.inv(out[i]) @ T_trues[i]
+            errs_t.append(np.linalg.norm(delta[:3, 3]))
+            errs_r.append(rot_angle(delta[:3, :3]))
+        return dict(
+            regs_per_s=ROUNDS * B / dt,
+            mean_iters=float(np.mean(np.asarray(iters))),
+            max_trans_err_m=float(np.max(errs_t)),
+            max_rot_err_rad=float(np.max(errs_r)),
+        )
 
-    # Single-problem p50 latency (the 10 Hz real-time budget), chained.
+    xicp = measure(xicp_cfg)
+    light = measure(light_cfg)
+
+    # Single-problem p50 latency (the 10 Hz real-time budget), production
+    # chain, chained through data.
     @jax.jit
     def chain_one(T):
-        return icp_mod.icp_single(scans[0], ref, T, cfg).transform @ perturb
+        return icp_mod.icp_single(scans[0], ref, T, xicp_cfg).transform @ perturb
 
     T1 = chain_one(init_Ts[0])
     sync(T1)
@@ -169,13 +214,14 @@ def main():
 
     # 4096-hypothesis relocalization burst (BASELINE config): one 512-pt
     # skeleton scan, 4096 vmapped initial poses against the same submap.
-    import dataclasses as _dc
-
     H, NH = 4096, 512
-    hyp_cfg = _dc.replace(cfg, coarse_iterations=0, candidate_refresh_every=0,
-                          max_iterations=12)
-    skel = pc.from_points(sample_scan(scene, NH, se3.transform_inverse(jnp.eye(4)), seed=99),
-                          capacity=NH)
+    hyp_cfg = dataclasses.replace(
+        light_cfg, coarse_iterations=0, candidate_refresh_every=0, max_iterations=12
+    )
+    skel = pc.from_points(
+        sample_scan(scene, NH, se3.transform_inverse(jnp.eye(4)), seed=99),
+        capacity=NH,
+    )
     rngh = np.random.default_rng(5)
     twists = np.c_[rngh.uniform(-0.1, 0.1, (H, 3)), rngh.uniform(-2, 2, (H, 3))].astype(np.float32)
     seeds = np.asarray(jax.vmap(se3.exp_se3)(jnp.asarray(twists)))
@@ -197,19 +243,25 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "scan_to_map_registrations_per_s_per_chip_64k",
-                "value": round(regs_per_s, 2),
+                "metric": "scan_to_map_registrations_per_s_per_chip_64k_xicp",
+                "value": round(xicp["regs_per_s"], 2),
                 "unit": "registrations/s",
-                "vs_baseline": round(regs_per_s / baseline_per_chip, 3),
+                "vs_baseline": round(xicp["regs_per_s"] / baseline_per_chip, 3),
                 "extra": {
+                    "chain": "X-ICP OptimizedEqualityConstraints (production)",
+                    "light_chain_regs_per_s": round(light["regs_per_s"], 2),
                     "p50_latency_ms": round(p50_ms, 2),
                     "latency_budget_ms": 100.0,
                     "relay_roundtrip_ms": round(rt * 1e3, 1),
                     "batch": B,
                     "reading_points": N_READ,
                     "map_points": int(jnp.sum(submap.mask)),
-                    "max_trans_err_m": round(max_trans_err, 5),
-                    "mean_iterations": round(mean_iters, 1),
+                    "max_trans_err_m": round(xicp["max_trans_err_m"], 5),
+                    "max_rot_err_rad": round(xicp["max_rot_err_rad"], 6),
+                    "light_max_trans_err_m": round(light["max_trans_err_m"], 5),
+                    "light_max_rot_err_rad": round(light["max_rot_err_rad"], 6),
+                    "mean_iterations": round(xicp["mean_iters"], 1),
+                    "workload": "noise 1.5cm, 240deg wedge, 3% clutter, 0.1m/1.2deg prior error",
                     "relocalization_hypotheses_per_s": round(hyps_per_s, 0),
                     "device": str(jax.devices()[0]),
                 },

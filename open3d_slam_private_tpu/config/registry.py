@@ -134,7 +134,11 @@ def _sampling_surface_normal(b, key, p):
 
 
 def _orient_normals(b, key, p):
-    return filters.orient_normals(b, towards=(0.0, 0.0, 0.0))
+    return filters.orient_normals(
+        b,
+        towards=(0.0, 0.0, 0.0),
+        toward_center=bool(int(p.get("towardCenter", 1))),
+    )
 
 
 def _observation_direction(b, key, p):
@@ -179,7 +183,52 @@ def _covariance_sampling(b, key, p):
 
 
 def _remove_sensor_bias(b, key, p):
-    return filters.remove_sensor_bias(b)
+    return filters.remove_sensor_bias(
+        b,
+        sensor_type=int(p.get("sensorType", 0)),
+        angle_threshold_deg=float(p.get("angleThreshold", 88.0)),
+    )
+
+
+def _hidden_point_removal(b, key, p):
+    # Host-side (scipy convex hull), exactly like the reference's Open3D CPU
+    # path — not jittable; runs between device stages.
+    import numpy as np
+
+    vp = (
+        float(p.get("vPositionX", 0.0)),
+        float(p.get("vPositionY", 0.0)),
+        float(p.get("vPositionZ", 0.0)),
+    )
+    xyz = np.asarray(b.xyz)
+    mask = np.asarray(b.mask)
+    keep_valid = filters.hidden_point_removal(
+        xyz[mask], vp, radius=float(p.get("radius", 100.0))
+    )
+    keep = np.zeros(b.capacity, bool)
+    keep[np.flatnonzero(mask)[keep_valid]] = True
+    return b.with_mask(jax.numpy.asarray(keep))
+
+
+def _organized_surface_normal(b, key, p):
+    # The reference reads the cloud's 2-D indexGrid (organized scans); the
+    # flat PointBatch carries no grid, so the YAML must supply the range
+    # image shape via ``rows``/``cols`` (row-major layout assumed).
+    if "rows" not in p or "cols" not in p:
+        raise KeyError(
+            "OrganizedCloudSurfaceNormalDataPointsFilter needs 'rows' and "
+            "'cols' params here (PointBatch carries no index grid); "
+            "row-major [rows*cols] layout assumed"
+        )
+    rows, cols = int(p["rows"]), int(p["cols"])
+    if rows * cols != b.capacity:
+        raise ValueError(
+            f"rows*cols = {rows * cols} != point capacity {b.capacity}"
+        )
+    img = b.xyz.reshape(rows, cols, 3)
+    valid = b.mask.reshape(rows, cols)
+    n = normals_mod.estimate_normals_organized(img, valid)
+    return b.with_extras(normals=n.reshape(-1, 3))
 
 
 def _elipsoids(b, key, p):
@@ -235,6 +284,8 @@ FILTER_REGISTRY: Dict[str, Callable] = {
     "RemoveSensorBiasDataPointsFilter": _remove_sensor_bias,
     "ElipsoidsDataPointsFilter": _elipsoids,
     "GestaltDataPointsFilter": _gestalt,
+    "HiddenPointRemovalDataPointsFilter": _hidden_point_removal,
+    "OrganizedCloudSurfaceNormalDataPointsFilter": _organized_surface_normal,
 }
 
 
@@ -289,14 +340,21 @@ def icp_config_from_dict(doc: dict, matcher_backend: str = "grid") -> icp_mod.IC
         name, p = _single(doc["matcher"])
         if name not in ("KDTreeMatcher", "KDTreeVarDistMatcher", "NullMatcher"):
             raise KeyError(f"unknown matcher {name}")
-        # KDTreeVarDistMatcher: per-point radii come from a descriptor at
-        # match time (pass an [N] array as max_dist to cell_match); the
-        # yaml's maxDistField names the channel — the engine-level radius
-        # here is the build/upper bound.
         kw["knn"] = int(p.get("knn", 1))
         max_dist = float(p.get("maxDist", math.inf))
         kw["max_match_dist"] = max_dist
         kw["matcher"] = matcher_backend if math.isfinite(max_dist) else "brute"
+        if name == "KDTreeVarDistMatcher":
+            # Per-point radii from a reading descriptor at match time
+            # (MatchersImpl.h:105-135); maxDist stays the build/upper bound,
+            # which the VarDist matcher needs finite.
+            kw["max_dist_field"] = str(p.get("maxDistField", "maxSearchDist"))
+            if not math.isfinite(max_dist):
+                raise ValueError(
+                    "KDTreeVarDistMatcher needs a finite maxDist as the "
+                    "grid build radius / per-point radius upper bound"
+                )
+            kw["matcher"] = "grid"
 
     # Outlier filters (composed).
     for item in doc.get("outlierFilters", []) or []:
@@ -327,7 +385,7 @@ def icp_config_from_dict(doc: dict, matcher_backend: str = "grid") -> icp_mod.IC
             "PointToPlaneWithCovErrorMinimizer": "point_to_plane",
             "PointToPointErrorMinimizer": "point_to_point",
             "PointToPointWithCovErrorMinimizer": "point_to_point",
-            "IdentityErrorMinimizer": "point_to_plane",
+            "IdentityErrorMinimizer": "identity",
         }
         if name not in mapping:
             raise KeyError(f"unknown errorMinimizer {name}")
@@ -337,6 +395,22 @@ def icp_config_from_dict(doc: dict, matcher_backend: str = "grid") -> icp_mod.IC
         if kw["force_2d"] and kw["force_4dof"]:
             # Reference: ConfigurationError (PointToPlane.cpp:68).
             raise ValueError("force2D cannot be used together with force4DOF")
+
+    # readingStepDataPointsFilters (ICP.cpp:1038): applied to the reading
+    # every iteration. The sampling case maps to a per-iteration random
+    # weight mask in the jitted loop; other filters would need per-iteration
+    # geometry rewrites and are rejected explicitly.
+    for item in doc.get("readingStepDataPointsFilters", []) or []:
+        name, p = _single(item)
+        if name == "RandomSamplingDataPointsFilter":
+            kw["reading_step_random_prob"] = float(p.get("prob", 0.75))
+        elif name == "IdentityDataPointsFilter":
+            pass
+        else:
+            raise KeyError(
+                f"unsupported readingStepDataPointsFilter {name} (only "
+                "RandomSampling/Identity run per-iteration in the jitted loop)"
+            )
 
     # Checkers.
     for item in doc.get("transformationCheckers", []) or []:

@@ -52,6 +52,16 @@ class ICPConfig:
     # (points within match radius of a cell; ~40 for a 0.15 m-voxel map at
     # 0.5 m radius).
     grid_bucket_cap: int = 48
+    # KDTreeVarDistMatcher (MatchersImpl.h:105-135): name of a reading
+    # extras channel holding per-point search radii, clipped to
+    # max_match_dist (which stays the grid build radius / upper bound).
+    # ≙ the yaml's maxDistField descriptor name. Grid matcher only.
+    max_dist_field: Optional[str] = None
+    # readingStepDataPointsFilters, sampling case (ICP.cpp:1038): keep each
+    # reading point with this probability, re-drawn every iteration. The
+    # reference filters before matching; here the drop is applied as a
+    # zero weight after matching (identical estimator, fixed shapes).
+    reading_step_random_prob: Optional[float] = None
     # 16-byte packed payloads (cell-frame u16 positions + octahedral
     # normals): halves matcher/cache traffic at ~25 um / 1e-4 rad
     # quantization. Exact 32-byte payloads when False.
@@ -70,8 +80,9 @@ class ICPConfig:
     robust_scale: float = 1.0  # tuning constant (metres); MAD if <= 0
 
     # Minimizer (≙ errorMinimizer block; "gicp" ≙ the CloudRegistration
-    # facade's GeneralizedIcp default, CloudRegistration.cpp:16-100).
-    minimizer: str = "point_to_plane"  # "point_to_plane" | "point_to_point" | "gicp"
+    # facade's GeneralizedIcp default, CloudRegistration.cpp:16-100;
+    # "identity" ≙ IdentityErrorMinimizer — no update, diagnostics only).
+    minimizer: str = "point_to_plane"  # point_to_plane | point_to_point | gicp | identity
     gicp_epsilon: float = 1e-3  # disk-covariance small eigenvalue
     force_4dof: bool = False
     force_2d: bool = False
@@ -209,15 +220,23 @@ def build_reference(reference: PointBatch, cfg: ICPConfig) -> ICPReference:
     return ICPReference(cloud=centered, centroid=c, grid=grid)
 
 
-def _match(src_xyz, src_mask, ref: ICPReference, cfg: ICPConfig) -> grid_mod.MatchResult:
-    """Correspondences with inlined matched payloads (xyz + normals)."""
+def _match(
+    src_xyz, src_mask, ref: ICPReference, cfg: ICPConfig, max_dist=None
+) -> grid_mod.MatchResult:
+    """Correspondences with inlined matched payloads (xyz + normals).
+
+    ``max_dist``: optional per-query ``[N]`` radii (KDTreeVarDistMatcher);
+    scalar ``cfg.max_match_dist`` otherwise.
+    """
+    if max_dist is None:
+        max_dist = cfg.max_match_dist
     if cfg.matcher == "grid":
         if cfg.packed_payload:
             return cell_mod.cell_match_packed(
-                ref.grid, src_xyz, src_mask, k=cfg.knn, max_dist=cfg.max_match_dist
+                ref.grid, src_xyz, src_mask, k=cfg.knn, max_dist=max_dist
             )
         return cell_mod.cell_match(
-            ref.grid, src_xyz, src_mask, k=cfg.knn, max_dist=cfg.max_match_dist
+            ref.grid, src_xyz, src_mask, k=cfg.knn, max_dist=max_dist
         )
     res = knn_mod.knn_bruteforce(
         src_xyz, src_mask, ref.cloud.padded_xyz(), ref.cloud.mask,
@@ -286,7 +305,7 @@ def _solve(A, b, src_flat, mn_flat, ddn, pair_mask, cfg: ICPConfig):
     elif method == "equality_constraints":
         loc = xicp.analyze_equality_constraints(
             A, b, src_flat, mn_flat, ddn, pair_mask, cfg.degeneracy,
-            axis_name=cfg.shard_axis,
+            axis_name=cfg.shard_axis, with_spectrum=False,
         )
         x = xicp.solve_with_equality_constraints(A, b, loc)
     else:
@@ -317,7 +336,20 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
 
     n_valid = jnp.maximum(_allsum(reading.count().astype(dtype)), 1.0)
 
-    def gn_update(T, src, res, trim_limit=None):
+    # KDTreeVarDistMatcher: per-point search radii from a reading channel.
+    var_md = None
+    if cfg.max_dist_field is not None:
+        if cfg.matcher != "grid" or cfg.packed_payload:
+            raise ValueError(
+                "max_dist_field (KDTreeVarDistMatcher) requires the unpacked "
+                "grid matcher"
+            )
+        var_md = jnp.minimum(
+            reading.extras[cfg.max_dist_field][..., 0].astype(dtype),
+            cfg.max_match_dist,
+        )
+
+    def gn_update(T, src, res, trim_limit=None, step_it=None):
         # Pair axis M: cfg.knn for gathered matches, full candidate capacity
         # for the masked candidate-major layout (extra slots carry w = 0).
         m = res.ids.shape[1]
@@ -325,10 +357,24 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
         q = res.xyz.reshape(-1, 3)
         mn = res.normals.reshape(-1, 3)
         w = _weights(res, reading, mn, cfg, trim_limit=trim_limit)
+        if cfg.reading_step_random_prob is not None and step_it is not None:
+            # Per-iteration reading-step random sampling (ICP.cpp:1038):
+            # deterministic key folded with the iteration counter.
+            kkey = jax.random.fold_in(jax.random.PRNGKey(17), step_it)
+            keep = jax.random.uniform(kkey, (src.shape[0],)) < cfg.reading_step_random_prob
+            w = w * jnp.repeat(keep, m).astype(w.dtype)
         src_flat = jnp.repeat(src, m, axis=0)
         pair_mask = res.valid().reshape(-1)
 
-        if cfg.minimizer == "point_to_point":
+        if cfg.minimizer == "identity":
+            # IdentityErrorMinimizer: no update; diagnostics only.
+            dT = jnp.eye(4, dtype=src.dtype)
+            loc = xicp._identity_result(dtype)
+            resid = jnp.sqrt(
+                _allsum(jnp.sum(w * jnp.sum((src_flat - q) ** 2, -1)))
+                / jnp.maximum(_allsum(jnp.sum(w)), 1e-9)
+            )
+        elif cfg.minimizer == "point_to_point":
             dT = minimizers.point_to_point_transform(src_flat, q, w, axis_name=cfg.shard_axis)
             loc = xicp._identity_result(dtype)
             resid = jnp.sqrt(
@@ -391,10 +437,10 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
         overlap = _allsum(jnp.sum((w > 0).astype(dtype))) / (n_valid * cfg.knn)
         return dT, loc, match_ratio, overlap, resid, A_out
 
-    def one_iteration(T):
+    def one_iteration(T, it):
         src = se3.apply_transform(T, reading.xyz)
-        res = _match(src, reading.mask, ref, cfg)
-        return gn_update(T, src, res)
+        res = _match(src, reading.mask, ref, cfg, max_dist=var_md)
+        return gn_update(T, src, res, step_it=it)
 
     loc0 = xicp._identity_result(dtype)
     state0 = dict(
@@ -496,7 +542,9 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             active = ~s["done"] & (s["it"] < max_iterations)
             return jax.tree.map(lambda old, nw: jnp.where(active, nw, old), s, new)
 
-        max_d2 = cfg.max_match_dist**2
+        max_d2 = (
+            var_md[:, None] ** 2 if var_md is not None else cfg.max_match_dist**2
+        )
 
         def round_body(s):
             src0 = se3.apply_transform(s["T"], reading.xyz)
@@ -511,7 +559,9 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             else:
                 rows, valid = cell_mod.gather_cell_candidates(ref.grid, src0, reading.mask)
                 res0 = grid_mod.match_from_candidates(
-                    rows, valid, src0, reading.mask, cfg.max_match_dist, cfg.knn
+                    rows, valid, src0, reading.mask,
+                    var_md if var_md is not None else cfg.max_match_dist,
+                    cfg.knn,
                 )
 
             # Round-frozen trimming: locate the TrimmedDist threshold once
@@ -544,6 +594,8 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                 and cfg.robust is None
                 and cfg.normal_angle_max is None
                 and cfg.knn <= 8
+                and cfg.reading_step_random_prob is None
+                and var_md is None
             )
             if fused_ok:
                 from open3d_slam_private_tpu.kernels import pair_gn_pallas as pgk
@@ -583,7 +635,13 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                     normals=res0.normals,
                 )
                 return (
-                    masked(si, gn_update(si["T"], src, res, trim_limit=trim_limit)),
+                    masked(
+                        si,
+                        gn_update(
+                            si["T"], src, res,
+                            trim_limit=trim_limit, step_it=si["it"],
+                        ),
+                    ),
                     i + 1,
                 )
 
@@ -609,7 +667,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
         return final
 
     def body(s):
-        return advance(s, one_iteration(s["T"]))
+        return advance(s, one_iteration(s["T"], s["it"]))
 
     return jax.lax.while_loop(cond, body, state0)
 

@@ -164,6 +164,7 @@ def analyze_equality_constraints(
     pair_mask,
     cfg: DegeneracyConfig,
     axis_name=None,
+    with_spectrum: bool = True,
 ):
     """Full X-ICP ternary localizability analysis for one problem.
 
@@ -182,8 +183,15 @@ def analyze_equality_constraints(
     tr_w, tr_V = eigh3x3(A[3:, 3:][None])
     rot_V, tr_V = rot_V[0], tr_V[0]
 
-    w6, _ = jnp.linalg.eigh(A)
-    cond = jnp.max(jnp.abs(w6)) / jnp.maximum(jnp.min(jnp.abs(w6)), 1e-30)
+    # The 6x6 spectrum is diagnostics only (the detection itself uses the
+    # 3x3 subspace analyses); the ICP loop re-derives it once from the final
+    # hessian after convergence, so skip the per-iteration eigh there.
+    if with_spectrum:
+        w6, _ = jnp.linalg.eigh(A)
+        cond = jnp.max(jnp.abs(w6)) / jnp.maximum(jnp.min(jnp.abs(w6)), 1e-30)
+    else:
+        w6 = jnp.zeros((6,), dtype)
+        cond = jnp.asarray(1.0, dtype)
 
     # Alignment vectors (``ICP.cpp:1760-1790``): translation -> normals;
     # rotation -> cross((p - center), n), normalized only if ||.|| >= 1.

@@ -163,11 +163,24 @@ def observation_direction(batch: PointBatch, sensor=(0.0, 0.0, 0.0)) -> PointBat
     return batch.with_extras(observationDirections=v)
 
 
-def orient_normals(batch: PointBatch, towards=(0.0, 0.0, 0.0)) -> PointBatch:
-    """OrientNormalsDataPointsFilter: flip normals toward the viewpoint."""
+def orient_normals(
+    batch: PointBatch, towards=(0.0, 0.0, 0.0), toward_center: bool = True
+) -> PointBatch:
+    """OrientNormalsDataPointsFilter (``OrientNormals.cpp:60-95``): flip
+    normals consistently w.r.t. the observation direction.
+
+    Uses the ``observationDirections`` channel when present (the reference
+    requires it); otherwise the direction ``towards - xyz`` (sensor at
+    ``towards``). ``toward_center`` ≙ the ``towardCenter`` param: True
+    orients normals toward the observation point, False away from it.
+    """
     normals = batch.extras["normals"]
-    to_vp = jnp.asarray(towards, batch.xyz.dtype)[None, :] - batch.xyz
-    flip = jnp.sum(normals * to_vp, axis=-1, keepdims=True) < 0
+    if "observationDirections" in batch.extras:
+        to_vp = batch.extras["observationDirections"]
+    else:
+        to_vp = jnp.asarray(towards, batch.xyz.dtype)[None, :] - batch.xyz
+    scalar = jnp.sum(normals * to_vp, axis=-1, keepdims=True)
+    flip = (scalar < 0) if toward_center else (scalar > 0)
     return batch.with_extras(normals=jnp.where(flip, -normals, normals))
 
 
@@ -268,25 +281,44 @@ def covariance_sampling(batch: PointBatch, target_count: int) -> PointBatch:
     return batch.with_mask(batch.mask & (rank < target_count))
 
 
-def remove_sensor_bias(batch: PointBatch, k0: float = 0.03, k1: float = 0.0005) -> PointBatch:
-    """RemoveSensorBiasDataPointsFilter: push points back along the viewing
-    ray to compensate the incidence-angle range bias of LiDARs (Laconte et
-    al. 2019 model, reduced to its dominant incidence term:
-    ``dr = k0 * (1/cos(angle) - 1) + k1 * r``). Needs ``incidenceAngles``
-    (see :func:`incidence_angle`); sensor at the origin."""
+def remove_sensor_bias(
+    batch: PointBatch,
+    sensor_type: int = 0,
+    angle_threshold_deg: float = 88.0,
+) -> PointBatch:
+    """RemoveSensorBiasDataPointsFilter (``RemoveSensorBias.h:67-73``): push
+    points back along the viewing ray to compensate the incidence-angle
+    range bias of LiDARs (Laconte et al. 2019 model, reduced to its dominant
+    incidence term ``dr = k0 * (1/cos(angle) - 1) + k1 * r``).
+
+    ``sensor_type`` ≙ the reference param (0 = SICK LMS-1xx, 1 = Velodyne
+    HDL-32E — different pulse widths => different bias constants);
+    ``angle_threshold_deg``: no correction above this incidence angle, and
+    those points are removed (the reference drops them as unreliable).
+    Needs ``incidenceAngles`` (see :func:`incidence_angle`); sensor at the
+    origin."""
+    k0, k1 = ((0.03, 0.0005), (0.012, 0.0002))[int(sensor_type)]
     ang = batch.extras["incidenceAngles"][..., 0]
+    thresh = jnp.deg2rad(jnp.asarray(angle_threshold_deg, batch.xyz.dtype))
     r = jnp.linalg.norm(batch.xyz, axis=-1)
     dr = k0 * (1.0 / jnp.maximum(jnp.cos(ang), 0.2) - 1.0) + k1 * r
+    dr = jnp.where(ang <= thresh, dr, 0.0)
     scale = jnp.maximum(r - dr, 0.0) / jnp.maximum(r, 1e-9)
     xyz = batch.xyz * scale[:, None]
     import dataclasses as _dc
 
-    return _dc.replace(batch, xyz=jnp.where(batch.mask[:, None], xyz, batch.xyz))
+    out = _dc.replace(batch, xyz=jnp.where(batch.mask[:, None], xyz, batch.xyz))
+    return out.with_mask(ang <= thresh)
 
 
-def hidden_point_removal(points: "np.ndarray", viewpoint, param: float = 3.0) -> "np.ndarray":
+def hidden_point_removal(
+    points: "np.ndarray", viewpoint, param: float = 3.0, radius=None
+) -> "np.ndarray":
     """HiddenPointRemovalDataPointsFilter (Katz et al. spherical flip +
-    convex hull). Host-side (scipy hull), like the reference's CPU path.
+    convex hull). Host-side (scipy hull), like the reference's CPU path
+    (Open3D ``HiddenPointRemoval``, ``HiddenPointRemoval.h:32-40``).
+    ``radius``: the spherical-projection radius (the reference's ``radius``
+    param, default 100); when None, ``max_norm * 10^param`` (Katz's rule).
     Returns a boolean keep-mask over ``points [n, 3]`` numpy."""
     import numpy as np
     from scipy.spatial import ConvexHull
@@ -294,7 +326,11 @@ def hidden_point_removal(points: "np.ndarray", viewpoint, param: float = 3.0) ->
     vp = np.asarray(viewpoint, np.float64)
     p = np.asarray(points, np.float64) - vp
     norm = np.linalg.norm(p, axis=1, keepdims=True)
-    R = norm.max() * (10.0 ** param)
+    if radius is not None:
+        # Spherical flip needs R > max range; widen a degenerate radius.
+        R = max(float(radius), float(norm.max()) * 1.1)
+    else:
+        R = norm.max() * (10.0 ** param)
     flipped = p + 2 * (R - norm) * (p / np.maximum(norm, 1e-12))
     pts = np.vstack([flipped, np.zeros((1, 3))])
     hull = ConvexHull(pts)

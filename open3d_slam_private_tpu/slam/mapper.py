@@ -69,7 +69,11 @@ class MapperConfig:
             candidate_refresh_every=10,
             candidate_slack=0.25,
             fast_trimming=True,
-            degeneracy=DegeneracyConfig(method="none"),
+            # The reference production config runs X-ICP degeneracy
+            # awareness every iteration (param/icp.yaml degeneracyAwareness:
+            # OptimizedEqualityConstraints; ICP.cpp:1079-1172) — so does the
+            # production default here.
+            degeneracy=DegeneracyConfig(method="equality_constraints"),
         )
     )
 

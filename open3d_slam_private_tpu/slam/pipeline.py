@@ -315,14 +315,25 @@ class SlamPipeline:
         if got is None:
             return None
         T, overlap, residual = got
-        # Final polish at the mapper's tight matching radius.
-        self._map_pose = T
-        self._ref_submap_idx = -1  # force reference rebuild near the new pose
+        # Final polish at the mapper's tight matching radius. Verify BEFORE
+        # committing any state: a failed polish must leave the pipeline
+        # exactly as it was (the coarse hypothesis is not trusted on its own).
+        active = self.submaps.active
+        polish_ref = build_map_reference(
+            active.state.cloud, jnp.asarray(T[:3, 3], jnp.float32), mcfg
+        )
+        res = scan_to_map_step(processed, polish_ref, jnp.asarray(T, jnp.float32), mcfg)
+        if not (
+            bool(jnp.all(jnp.isfinite(res.transform)))
+            and float(res.overlap_ratio) > 0.2
+        ):
+            return None
+        self._map_pose = np.asarray(res.transform, np.float64)
+        self._ref = polish_ref
+        self._ref_submap_idx = self.submaps.active_idx
+        self._ref_center = np.asarray(T[:3, 3], np.float64).copy()
+        self._scans_since_reinit = 0
         self._initialized = True
-        self._rebuild_reference(center=T[:3, 3])
-        res = scan_to_map_step(processed, self._ref, jnp.asarray(T, jnp.float32), mcfg)
-        if bool(jnp.all(jnp.isfinite(res.transform))) and float(res.overlap_ratio) > 0.2:
-            self._map_pose = np.asarray(res.transform, np.float64)
         return self._map_pose.copy()
 
 

@@ -96,6 +96,7 @@ def test_golden_transform_parity(clouds, golden_name):
     assert err < 0.05, f"{golden_name}: rel err {err:.4f} vs golden\n{np.asarray(res.transform)}\n{golden}"
 
 
+@pytest.mark.slow
 def test_golden_force4dof(clouds):
     """The 4-DoF (yaw + translation) golden config: knn=10 matcher, trimmed
     0.8 + normal-angle gate, force4DOF point-to-plane."""

@@ -25,6 +25,7 @@ def test_device_count():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_register_batch_sharded(rng):
     mesh = make_mesh(batch=8)
     B = 8

@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from open3d_slam_private_tpu.geometry import se3
 from open3d_slam_private_tpu.slam import pose_graph as pg
@@ -13,6 +14,7 @@ def relative(Ta, Tb):
     return np.linalg.inv(Ta) @ Tb
 
 
+@pytest.mark.slow
 def test_chain_with_drift_and_loop_closure(rng):
     """Classic square loop: odometry drifts, loop closure snaps it shut."""
     n = 9
