@@ -170,6 +170,9 @@ def _run_slam_from_bag(args, pipe) -> int:
             last_odom = msg
             n_odom += 1
         elif dtype == "sensor_msgs/Imu":
+            # Buffered for initial-attitude estimation (≙ ImuBuffer path);
+            # the pipeline consumes it on the first scan.
+            pipe.add_imu(float(stamp), msg.linear_acceleration, msg.angular_velocity)
             n_imu += 1
     wall = time.perf_counter() - t_start
     print(

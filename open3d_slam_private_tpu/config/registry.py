@@ -385,6 +385,7 @@ def icp_config_from_dict(doc: dict, matcher_backend: str = "grid") -> icp_mod.IC
             "PointToPlaneWithCovErrorMinimizer": "point_to_plane",
             "PointToPointErrorMinimizer": "point_to_point",
             "PointToPointWithCovErrorMinimizer": "point_to_point",
+            "PointToPointSimilarityErrorMinimizer": "similarity",
             "IdentityErrorMinimizer": "identity",
         }
         if name not in mapping:

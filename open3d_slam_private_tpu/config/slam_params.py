@@ -92,8 +92,8 @@ def slam_config_from_dict(doc: dict) -> SlamConfig:
     mb = _get(doc, "map_builder", default={}) or {}
     if "map_voxel_size" in mb:
         mp_kw["submap_voxel_size"] = float(mb["map_voxel_size"])
-    carv = mb.get("space_carving", {}) or {}
-    if carv and _get(doc, "mapper_localizer", "is_build_dense_map", default=False):
+    carving_enabled = bool(ml.get("is_carving_enabled", False))
+    if carving_enabled:
         mp_kw["carving_enabled"] = True
     mp_icp = _icp_from_tree(s2m, mp.icp)
     mp = dataclasses.replace(mp, icp=mp_icp, **mp_kw)
@@ -107,17 +107,30 @@ def slam_config_from_dict(doc: dict) -> SlamConfig:
         sub_kw["activation_radius"] = float(sd["submap_size"]) * 1.1
     if "min_num_range_data" in sd:
         sub_kw["min_scans_before_switch"] = int(sd["min_num_range_data"])
+    if "adjacency_based_revisiting_min_fitness" in sd:
+        sub_kw["min_fitness_for_switch"] = float(sd["adjacency_based_revisiting_min_fitness"])
     if "map_voxel_size" in mb:
         sub_kw["submap_voxel_size"] = float(mb["map_voxel_size"])
+    carv = mb.get("space_carving", {}) or {}
+    if carving_enabled:
+        sub_kw["carve_every_n"] = int(float(carv.get("carve_space_every_n_scans", 10)))
+        if "truncation_distance" in carv:
+            sub_kw["carve_range_margin"] = float(carv["truncation_distance"])
     sub = dataclasses.replace(sub, **sub_kw)
 
     # --- place recognition / loop closure consistency ---
     prc = PlaceRecognitionConfig()
     pr_d = _get(doc, "place_recognition", default={}) or {}
     pr_kw: Dict[str, Any] = {}
-    if "min_refinement_fitness" in pr_d:
+    if "min_icp_refinement_fitness" in pr_d:
+        pr_kw["min_overlap"] = float(pr_d["min_icp_refinement_fitness"])
+    elif "min_refinement_fitness" in pr_d:
         pr_kw["min_overlap"] = float(pr_d["min_refinement_fitness"])
-    cc = pr_d.get("loop_closure_consistency_check", {}) or {}
+    cc = (
+        pr_d.get("consistency_check")  # ≙ PLACE_RECOGNITION_PARAMETERS key
+        or pr_d.get("loop_closure_consistency_check")
+        or {}
+    )
     if "max_drift_x" in cc:
         pr_kw["max_drift_trans"] = float(cc["max_drift_x"])
     if "max_drift_yaw" in cc:
@@ -134,6 +147,23 @@ def slam_config_from_dict(doc: dict) -> SlamConfig:
     dense_enabled = bool(_get(doc, "mapper_localizer", "is_build_dense_map", default=False))
     dmb = _get(doc, "dense_map_builder", default={}) or {}
 
+    # --- motion compensation + IMU attitude init (round-2 wiring) ---
+    from open3d_slam_private_tpu.slam.pipeline import MotionCompensationConfig
+
+    mc_d = _get(doc, "motion_compensation", default={}) or {}
+    mc = MotionCompensationConfig(
+        enabled=bool(mc_d.get("is_undistort_scan", False)),
+        scan_duration=float(mc_d.get("scan_duration", 0.1)),
+        clockwise=bool(mc_d.get("is_spinning_clockwise", True)),
+    )
+    use_imu = bool(
+        _get(doc, "odometry", "use_IMU_for_attitude_initialization", default=False)
+    )
+    use_ext_odom = bool(
+        _get(doc, "odometry", "use_odometry_topic_instead_of_scan_to_scan",
+             default=False)
+    )
+
     return SlamConfig(
         build_dense_map=dense_enabled,
         dense_map_voxel=float(dmb.get("map_voxel_size", 0.05)),
@@ -143,6 +173,9 @@ def slam_config_from_dict(doc: dict) -> SlamConfig:
         place_recognition=prc,
         pose_graph=pgc,
         loop_closure_enabled=lc_enabled,
+        motion_compensation=mc,
+        use_imu_attitude_init=use_imu,
+        use_external_odometry=use_ext_odom,
     )
 
 
@@ -150,3 +183,12 @@ def slam_config_from_yaml(path_or_stream) -> SlamConfig:
     from open3d_slam_private_tpu.config.registry import load_yaml
 
     return slam_config_from_dict(load_yaml(path_or_stream))
+
+
+def slam_config_from_lua(path: str, search_dirs=None) -> SlamConfig:
+    """Load one of the reference's shipped ``param_*.lua`` files
+    (``LuaLoader.cpp`` analogue; includes + deepcopy resolved by
+    :mod:`open3d_slam_private_tpu.config.lua`)."""
+    from open3d_slam_private_tpu.config.lua import load_lua
+
+    return slam_config_from_dict(load_lua(path, search_dirs))

@@ -82,7 +82,7 @@ class ICPConfig:
     # Minimizer (≙ errorMinimizer block; "gicp" ≙ the CloudRegistration
     # facade's GeneralizedIcp default, CloudRegistration.cpp:16-100;
     # "identity" ≙ IdentityErrorMinimizer — no update, diagnostics only).
-    minimizer: str = "point_to_plane"  # point_to_plane | point_to_point | gicp | identity
+    minimizer: str = "point_to_plane"  # point_to_plane | point_to_point | similarity | gicp | identity
     gicp_epsilon: float = 1e-3  # disk-covariance small eigenvalue
     force_4dof: bool = False
     force_2d: bool = False
@@ -186,10 +186,17 @@ class ICPReference:
     grid: Optional[cell_mod.CellList]
 
 
-def build_reference(reference: PointBatch, cfg: ICPConfig) -> ICPReference:
+def build_reference(
+    reference: PointBatch, cfg: ICPConfig, centroid: Optional[jax.Array] = None
+) -> ICPReference:
     """Center the reference at its centroid and (for the grid matcher)
-    build the spatial hash. jit/vmap-safe."""
-    c = masked_centroid(reference)
+    build the spatial hash. jit/vmap-safe.
+
+    ``centroid`` overrides the computed centroid — required when the
+    reference is a spatial TILE of a larger map (tile-sharded mode): every
+    shard must center with the same global value or the per-shard transforms
+    would live in different frames."""
+    c = masked_centroid(reference) if centroid is None else centroid
     centered = dataclasses.replace(
         reference,
         xyz=jnp.where(reference.mask[..., None], reference.xyz - c, reference.xyz),
@@ -376,6 +383,18 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             )
         elif cfg.minimizer == "point_to_point":
             dT = minimizers.point_to_point_transform(src_flat, q, w, axis_name=cfg.shard_axis)
+            loc = xicp._identity_result(dtype)
+            resid = jnp.sqrt(
+                _allsum(jnp.sum(w * jnp.sum((src_flat - q) ** 2, -1)))
+                / jnp.maximum(_allsum(jnp.sum(w)), 1e-9)
+            )
+        elif cfg.minimizer == "similarity":
+            # PointToPointSimilarityErrorMinimizer: Umeyama with isotropic
+            # scale (``PointToPointSimilarity.cpp``); the scaled rotation
+            # composes into T like the reference's similarity chain.
+            dT, _scale = minimizers.point_to_point_similarity_transform(
+                src_flat, q, w
+            )
             loc = xicp._identity_result(dtype)
             resid = jnp.sqrt(
                 _allsum(jnp.sum(w * jnp.sum((src_flat - q) ** 2, -1)))

@@ -55,6 +55,17 @@ def save_pipeline(pipe: "SlamPipeline", path: str) -> None:
             for c in pipe._loop_constraints
         ],
     }
+    meta["last_scan_time"] = pipe._last_scan_time
+    meta["attitude_initialized"] = bool(pipe._attitude_initialized)
+    meta["force_new_submap"] = bool(pipe.submaps._force_new_submap)
+    arrays["last_motion_twist"] = np.asarray(pipe._last_motion_twist)
+    arrays["imu_times"] = np.asarray(pipe.imu_buffer._times)
+    arrays["imu_acc"] = (
+        np.stack(pipe.imu_buffer._acc) if pipe.imu_buffer._acc else np.zeros((0, 3))
+    )
+    arrays["imu_gyro"] = (
+        np.stack(pipe.imu_buffer._gyro) if pipe.imu_buffer._gyro else np.zeros((0, 3))
+    )
     arrays["map_pose"] = np.asarray(pipe._map_pose)
     arrays["last_insert_pose"] = (
         np.asarray(pipe._last_insert_pose)
@@ -191,6 +202,15 @@ def load_pipeline(pipe: "SlamPipeline", path: str) -> "SlamPipeline":
     elif pipe._initialized and meta["n_submaps"] > 0:
         pipe._rebuild_reference()
     pipe._scans_since_reinit = meta["scans_since_reinit"]
+    # Motion subsystem state (round-2 fields; tolerate older checkpoints).
+    pipe._last_scan_time = meta.get("last_scan_time")
+    pipe._attitude_initialized = bool(meta.get("attitude_initialized", False))
+    pipe.submaps._force_new_submap = bool(meta.get("force_new_submap", False))
+    if "last_motion_twist" in data:
+        pipe._last_motion_twist = np.asarray(data["last_motion_twist"], np.float64)
+    if "imu_times" in data:
+        for t, a, g in zip(data["imu_times"], data["imu_acc"], data["imu_gyro"]):
+            pipe.imu_buffer.push(float(t), a, g)
     return pipe
 
 

@@ -27,9 +27,12 @@ from typing import Dict, List, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from open3d_slam_private_tpu.geometry import se3
 from open3d_slam_private_tpu.ops import pointcloud as pc
 from open3d_slam_private_tpu.slam import dense_map as dense_map_mod
+from open3d_slam_private_tpu.slam import motion_compensation as mc_mod
 from open3d_slam_private_tpu.slam import place_recognition as pr
+from open3d_slam_private_tpu.slam.imu import ImuBuffer
 from open3d_slam_private_tpu.slam import pose_graph as pg
 from open3d_slam_private_tpu.slam import submap as submap_mod
 from open3d_slam_private_tpu.slam.mapper import MapperConfig, build_map_reference, process_scan_for_matching, scan_to_map_step
@@ -39,6 +42,20 @@ from open3d_slam_private_tpu.slam.submap_collection import (
     SubmapCollectionConfig,
 )
 from open3d_slam_private_tpu.slam.transform_buffer import TransformInterpolationBuffer
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionCompensationConfig:
+    """≙ ``ConstantVelocityMotionCompensationParameters``: undistort every
+    scan with the body velocity estimated from the pose buffer
+    (``MotionCompensation.cpp:32-57``)."""
+
+    enabled: bool = False
+    scan_duration: float = 0.1  # s, one sweep (≙ scanDuration_)
+    clockwise: bool = True  # spin direction (≙ isSpinningClockwise_)
+    # Use the per-point ``times`` channel when the scan carries one;
+    # azimuth-phase model otherwise (MotionCompensation.cpp:120-139).
+    use_times_channel: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +71,14 @@ class SlamConfig:
     pose_graph: pg.PoseGraphConfig = dataclasses.field(default_factory=pg.PoseGraphConfig)
     use_external_odometry: bool = False  # ≙ useOdometryTopic
     loop_closure_enabled: bool = True
+    motion_compensation: MotionCompensationConfig = dataclasses.field(
+        default_factory=MotionCompensationConfig
+    )
+    # Boot the initial attitude (roll/pitch) from buffered IMU samples when
+    # available (≙ ImuBuffer::estimateAttitudeFromImu, ImuBuffer.cpp:102).
+    # Only applies while uninitialized and with an identity rotation (an
+    # explicit set_initial_transform wins).
+    use_imu_attitude_init: bool = True
     # ≙ is_build_dense_map: maintain the high-resolution aggregate map
     # alongside the sparse matching submaps (dense_map worker analogue).
     build_dense_map: bool = False
@@ -90,6 +115,15 @@ class SlamPipeline:
         self._loop_constraints: List[pr.LoopClosureConstraint] = []
         self._scan_count = 0
         self.stats: List[dict] = []
+        # IMU + motion state (attitude init, undistortion, out-of-order).
+        self.imu_buffer = ImuBuffer()
+        self._attitude_initialized = False
+        self._last_scan_time: Optional[float] = None
+        self._last_motion_twist = np.zeros(6)  # log of last odometry motion
+
+    def add_imu(self, time: float, acc, gyro) -> None:
+        """Buffer one IMU sample (≙ the imu callback -> ImuBuffer path)."""
+        self.imu_buffer.push(time, acc, gyro)
 
     # ------------------------------------------------------------------
     # Offline deterministic stepping (the primary harness).
@@ -109,6 +143,67 @@ class SlamPipeline:
         (on submap finish) loop closure + pose graph."""
         cfg = self.cfg
 
+        # --- IMU attitude boot (≙ estimateAttitudeFromImu at startup) ---
+        if (
+            cfg.use_imu_attitude_init
+            and not self._initialized
+            and not self._attitude_initialized
+            and len(self.imu_buffer) >= 2
+            and np.allclose(self._map_pose[:3, :3], np.eye(3))
+        ):
+            try:
+                R_wb, _g = self.imu_buffer.estimate_attitude(t_end=time)
+                self._map_pose = self._map_pose.copy()
+                self._map_pose[:3, :3] = R_wb
+                self._attitude_initialized = True
+            except ValueError:
+                pass
+
+        # --- out-of-order measurement (≙ Mapper.cpp:196-235): propagate by
+        # the odometry motion instead of registering. ---
+        if self._last_scan_time is not None and time <= self._last_scan_time:
+            motion = self._out_of_order_motion(external_odom_pose)
+            self._map_pose = self._map_pose @ motion
+            self.map_pose_buffer.push(self._last_scan_time, self._map_pose)
+            stats = dict(
+                converged=False, inserted=False, degenerate=False,
+                overlap=0.0, out_of_order=True,
+            )
+            self.stats.append(stats)
+            return stats
+
+        # --- constant-velocity undistortion (≙ MotionCompensation.cpp) ---
+        mc = cfg.motion_compensation
+        if mc.enabled and self._last_scan_time is not None:
+            dt = max(time - self._last_scan_time, 1e-6)
+            # With external odometry the sweep motion is known *before*
+            # registration — use it directly; otherwise assume constant
+            # velocity and reuse the previous frame's motion (the
+            # reference's ConstantVelocity model).
+            if (
+                cfg.use_external_odometry
+                and external_odom_pose is not None
+                and self._prev_odom_pose is not None
+            ):
+                motion_now = np.linalg.inv(self._prev_odom_pose) @ np.asarray(
+                    external_odom_pose, np.float64
+                )
+                base_twist = np.asarray(
+                    se3.log_se3(jnp.asarray(motion_now, jnp.float32)), np.float64
+                )
+            else:
+                base_twist = self._last_motion_twist
+            twist = jnp.asarray(base_twist * (mc.scan_duration / dt), jnp.float32)
+            if mc.use_times_channel and "times" in scan.extras:
+                t_pts = np.asarray(scan.extras["times"][..., 0])
+                m = np.asarray(scan.mask)
+                if m.any():
+                    scan = mc_mod.undistort_with_times(
+                        scan, twist, float(t_pts[m].min()), float(t_pts[m].max())
+                    )
+            else:
+                scan = mc_mod.undistort_with_azimuth(scan, twist, mc.clockwise)
+
         # --- odometry stage (≙ unifiedWorkerOdom) ---
         if cfg.use_external_odometry and external_odom_pose is not None:
             odom_pose = np.asarray(external_odom_pose, np.float64)
@@ -120,6 +215,10 @@ class SlamPipeline:
         else:
             odom_motion = np.linalg.inv(self._prev_odom_pose) @ odom_pose
         self._prev_odom_pose = odom_pose
+        self._last_motion_twist = np.asarray(
+            se3.log_se3(jnp.asarray(odom_motion, jnp.float32)), np.float64
+        )
+        self._last_scan_time = time
 
         # --- mapping stage (≙ unifiedWorkerMap / Mapper) ---
         stats = self._mapping_step(scan, odom_motion)
@@ -137,12 +236,33 @@ class SlamPipeline:
 
     # ------------------------------------------------------------------
 
+    def _out_of_order_motion(self, external_odom_pose) -> np.ndarray:
+        """Odometry motion between the last mapped time and the newest
+        odometry knowledge (≙ the backup-transform path, Mapper.cpp:219-227);
+        falls back to the last computed motion when the buffer can't help."""
+        latest = self.odom_buffer.latest_time
+        if (
+            latest is not None
+            and self._last_scan_time is not None
+            and self.odom_buffer.has(self._last_scan_time)
+            and latest > self._last_scan_time
+        ):
+            T_prev = self.odom_buffer.lookup(self._last_scan_time)
+            T_latest = self.odom_buffer.lookup(latest)
+            return np.linalg.inv(T_prev) @ T_latest
+        return np.asarray(
+            se3.exp_se3(jnp.asarray(self._last_motion_twist, jnp.float32)),
+            np.float64,
+        )
+
     def _mapping_step(self, scan: pc.PointBatch, odom_motion: np.ndarray) -> dict:
         mcfg = self.cfg.mapper
         processed = process_scan_for_matching(scan, mcfg)
 
         if not self._initialized:
-            self.submaps.insert_scan(processed, self._map_pose, self._map_pose)
+            self.submaps.insert_scan(
+                processed, self._map_pose, self._map_pose, raw_scan=scan
+            )
             self._rebuild_reference()
             self._last_insert_pose = self._map_pose.copy()
             self._initialized = True
@@ -172,7 +292,7 @@ class SlamPipeline:
             >= mcfg.min_movement_for_insertion
         )
         if moved and not use_prior:
-            self.submaps.insert_scan(processed, new_pose, new_pose)
+            self.submaps.insert_scan(processed, new_pose, new_pose, raw_scan=scan)
             if self.dense_map is not None:
                 self.dense_map = dense_map_mod.insert(
                     self.dense_map, scan, jnp.asarray(new_pose, jnp.float32)

@@ -72,7 +72,21 @@ class SubmapCollectionConfig:
     submap_crop_radius: float = 50.0
     creation_radius: float = 20.0  # create a new submap beyond this distance
     activation_radius: float = 22.0  # switch to an existing submap within
-    min_scans_before_switch: int = 5
+    min_scans_before_switch: int = 5  # ≙ minNumRangeData_
+    # Force a new submap once the active bank holds this many valid points
+    # (≙ maxNumPoints_, SubmapCollection.cpp:114-116). None -> 90% of
+    # capacity, i.e. roll a new submap before the fixed bank saturates and
+    # voxel aggregation would start dropping geometry silently.
+    max_num_points: Optional[int] = None
+    # Consistency gate when re-activating an adjacent submap: fraction of the
+    # current scan overlapping the candidate submap
+    # (≙ isSwitchingSubmapsConsistant + adjacencyBasedRevisitingMinFitness_).
+    min_fitness_for_switch: float = 0.4
+    # Space carving cadence on scan insertion (≙ carveSpaceEveryNscans_,
+    # Submap.cpp:56-80); 0 disables carving in the production path.
+    carve_every_n: int = 0
+    carve_angle_tol: float = 0.01
+    carve_range_margin: float = 0.3
 
 
 class SubmapCollection:
@@ -85,6 +99,13 @@ class SubmapCollection:
         self.active_idx: int = -1
         self.finished_queue: List[int] = []
         self._scans_in_active = 0
+        self._force_new_submap = False  # ≙ isForceNewSubmapCreation_
+
+    @property
+    def _max_points(self) -> int:
+        if self.cfg.max_num_points is not None:
+            return self.cfg.max_num_points
+        return int(0.9 * self.cfg.submap_capacity)
 
     def __len__(self) -> int:
         return len(self.submaps)
@@ -105,7 +126,28 @@ class SubmapCollection:
             self.adjacency.add_edge(parent, idx)
         return idx
 
-    def update_active_submap(self, robot_pose: np.ndarray) -> Tuple[int, bool]:
+    def _switch_consistent(
+        self, scan: Optional[pc.PointBatch], T_map_scan, candidate: int
+    ) -> bool:
+        """Consistency gate before re-activating an adjacent submap
+        (≙ ``isSwitchingSubmapsConsistant``, ``SubmapCollection.cpp:390-402``):
+        enough of the scan must overlap the candidate's cloud."""
+        if scan is None:
+            return True
+        from open3d_slam_private_tpu.slam.constraint_builders import overlap_fraction
+
+        posed = scan.transformed(jnp.asarray(T_map_scan, jnp.float32))
+        fit = overlap_fraction(
+            posed, self.submaps[candidate].state.cloud,
+            radius=max(self.cfg.submap_voxel_size, 1e-3),
+        )
+        return fit > self.cfg.min_fitness_for_switch
+
+    def update_active_submap(
+        self,
+        robot_pose: np.ndarray,
+        scan: Optional[pc.PointBatch] = None,
+    ) -> Tuple[int, bool]:
         """(≙ ``updateActiveSubmap``, ``SubmapCollection.cpp:94-148``):
         pick/create the active submap for the current robot pose. Returns
         (active index, switched)."""
@@ -115,23 +157,42 @@ class SubmapCollection:
             self._scans_in_active = 0
             return self.active_idx, True
 
-        pos = np.asarray(robot_pose)[:3, 3]
         cur = self.active_idx
+        if self._force_new_submap:
+            # Bank saturation: roll a new submap instead of silently dropping
+            # geometry (≙ the maxNumPoints_ force-new path).
+            self._force_new_submap = False
+            self._finish(cur)
+            self.active_idx = self._create_submap(robot_pose, cur)
+            self._scans_in_active = 0
+            return self.active_idx, True
+
+        if self._scans_in_active < cfg.min_scans_before_switch:
+            return cur, False
+
+        pos = np.asarray(robot_pose)[:3, 3]
         d_cur = np.linalg.norm(self.submaps[cur].anchor[:3, 3] - pos)
-        if d_cur <= cfg.creation_radius or self._scans_in_active < cfg.min_scans_before_switch:
+        if d_cur <= cfg.creation_radius:
             return cur, False
 
         # Closest existing submap (proximity activation).
         dists = [np.linalg.norm(e.anchor[:3, 3] - pos) for e in self.submaps]
         best = int(np.argmin(dists))
         if dists[best] <= cfg.activation_radius and best != cur:
-            self._finish(cur)
-            self.adjacency.add_edge(cur, best)
-            self.active_idx = best
-            self._scans_in_active = 0
-            return best, True
+            if self.adjacency.is_adjacent(cur, best) and self._switch_consistent(
+                scan, robot_pose, best
+            ):
+                self._finish(cur)
+                self.active_idx = best
+                self._scans_in_active = 0
+                return best, True
+            # Inconsistent or non-adjacent candidate: only spawn a new submap
+            # once we have traveled past the active one's radius
+            # (SubmapCollection.cpp:137-143); until then keep the active map.
+            if d_cur <= cfg.activation_radius:
+                return cur, False
 
-        # Nothing close: spawn a new submap anchored at the robot.
+        # Nothing close (or candidate rejected far from home): new submap.
         self._finish(cur)
         self.active_idx = self._create_submap(robot_pose, cur)
         self._scans_in_active = 0
@@ -144,19 +205,45 @@ class SubmapCollection:
             self.finished_queue.append(idx)
 
     def insert_scan(
-        self, scan: pc.PointBatch, T_map_scan: np.ndarray, robot_pose: np.ndarray
+        self,
+        scan: pc.PointBatch,
+        T_map_scan: np.ndarray,
+        robot_pose: np.ndarray,
+        raw_scan: Optional[pc.PointBatch] = None,
     ) -> Tuple[int, bool]:
-        """Insert into the active submap, handling activation/creation."""
-        idx, switched = self.update_active_submap(robot_pose)
+        """Insert into the active submap, handling activation/creation,
+        periodic space carving (≙ ``Submap::insertScan`` with
+        ``isPerformCarving``), and bank-saturation force-new arming."""
+        idx, switched = self.update_active_submap(robot_pose, scan=scan)
         e = self.submaps[idx]
+        T = jnp.asarray(T_map_scan, jnp.float32)
+        if (
+            self.cfg.carve_every_n > 0
+            and self._scans_in_active > 0
+            and self._scans_in_active % self.cfg.carve_every_n == 0
+        ):
+            # Carve BEFORE merging, with the raw (uncropped) scan when the
+            # caller has one — exactly the reference order (Submap.cpp:56-86).
+            e.state = submap_mod.carve(
+                e.state,
+                raw_scan if raw_scan is not None else scan,
+                T,
+                angle_tol=self.cfg.carve_angle_tol,
+                range_margin=self.cfg.carve_range_margin,
+            )
         e.state = submap_mod.insert_scan(
             e.state,
             scan,
-            jnp.asarray(T_map_scan, jnp.float32),
+            T,
             self.cfg.submap_voxel_size,
             self.cfg.submap_crop_radius,
         )
         self._scans_in_active += 1
+        # Arm the force-new flag once the bank nears saturation so the next
+        # scan opens a fresh submap instead of silently dropping points.
+        occupancy = int(jnp.sum(e.state.cloud.mask))
+        if occupancy >= self._max_points:
+            self._force_new_submap = True
         return idx, switched
 
     def pop_finished(self) -> Optional[int]:

@@ -96,6 +96,76 @@ def test_golden_transform_parity(clouds, golden_name):
     assert err < 0.05, f"{golden_name}: rel err {err:.4f} vs golden\n{np.asarray(res.transform)}\n{golden}"
 
 
+# ---------------------------------------------------------------------------
+# Per-config golden harness: every icp_data/*.yaml chain is built through the
+# registry (filters + matcher + outlier filters + minimizer + checkers) and
+# run against its own .ref_trans, exactly like utest.cpp's directory loop.
+# ---------------------------------------------------------------------------
+
+import dataclasses  # noqa: E402
+import glob  # noqa: E402
+import math  # noqa: E402
+
+from open3d_slam_private_tpu.config import registry  # noqa: E402
+
+ICP_DATA = os.path.join(REF_DATA, "icp_data")
+ALL_GOLDEN_YAMLS = sorted(
+    os.path.splitext(os.path.basename(p))[0]
+    for p in glob.glob(os.path.join(ICP_DATA, "*.yaml"))
+)
+
+
+@pytest.fixture(scope="module")
+def raw_clouds():
+    """Deterministically subsampled Hokuyo pair (CPU-speed deviation; the 5%
+    median criterion absorbs sampling differences — the chains themselves
+    run RandomSampling)."""
+    ref_pts, _ = load_vtk(os.path.join(REF_DATA, "cloud.00000.vtk"))
+    read_pts, _ = load_vtk(os.path.join(REF_DATA, "cloud.00001.vtk"))
+    ref = pc.from_points(ref_pts, capacity=32768)
+    ref = pc.compact(filters.max_point_count(ref, jax.random.key(7), 16384), 16384)
+    read = pc.from_points(read_pts, capacity=32768)
+    read = pc.compact(filters.max_point_count(read, jax.random.key(8), 8192), 8192)
+    return ref, read, read_pts
+
+
+def _speed_overrides(cfg):
+    """The yamls' KDTreeMatcher carries no maxDist (unbounded k-d search);
+    brute-force knn over the full pair is O(N*M) on CPU. A 1.5 m match
+    radius is effectively unbounded here (consecutive indoor scans, initial
+    offset well under 1 m) and lets the grid matcher run."""
+    if math.isfinite(cfg.max_match_dist) and cfg.matcher != "brute":
+        return cfg
+    return dataclasses.replace(
+        cfg,
+        max_match_dist=1.5,
+        matcher="grid",
+        grid_table_size=1 << 15,
+        grid_bucket_cap=256 if cfg.knn == 1 else 128,
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ALL_GOLDEN_YAMLS)
+def test_per_config_golden(raw_clouds, name):
+    doc = registry.load_yaml(os.path.join(ICP_DATA, name + ".yaml"))
+    cfg = _speed_overrides(registry.icp_config_from_dict(doc))
+    ref0, read0, read_full = raw_clouds
+    ref = registry.make_filter_chain(doc.get("referenceDataPointsFilters"))(
+        ref0, jax.random.key(0)
+    )
+    read = registry.make_filter_chain(doc.get("readingDataPointsFilters"))(
+        read0, jax.random.key(1)
+    )
+    res = icp_mod.register_pair(read, ref, jnp.eye(4), cfg)
+    golden = load_golden(name)
+    err = median_rel_err(np.asarray(res.transform), golden, read_full)
+    assert err < 0.05, (
+        f"{name}: rel err {err:.4f}\nours:\n{np.asarray(res.transform)}\n"
+        f"golden:\n{golden}"
+    )
+
+
 @pytest.mark.slow
 def test_golden_force4dof(clouds):
     """The 4-DoF (yaw + translation) golden config: knn=10 matcher, trimmed

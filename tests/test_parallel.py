@@ -126,3 +126,54 @@ def test_pose_graph_edge_sharded_matches_single(rng):
     np.testing.assert_allclose(
         np.asarray(poses_sharded), np.asarray(single.poses), atol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial-tile reference sharding (pod-scale map mode).
+# ---------------------------------------------------------------------------
+
+
+def test_register_tile_sharded_matches_single(rng):
+    """Tile-sharded mode must reproduce the replicated/single-device result
+    (same correspondences; f32 summation-order differences only)."""
+    from open3d_slam_private_tpu.parallel import register_tile_sharded
+    import dataclasses
+
+    mesh = make_mesh(batch=1, points=8)
+    ref_pts = make_surface_cloud(rng, 3000)
+    ref = with_normals(ref_pts, capacity=4096)
+    T_true = small_transform(0.02, 0.05)
+    read_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    reading = pc.from_points(read_pts, capacity=4096)
+    cfg = dataclasses.replace(
+        BASE_CFG, matcher="grid", grid_table_size=1 << 12, grid_bucket_cap=32
+    )
+
+    res_tiled = register_tile_sharded(mesh, reading, ref, jnp.eye(4), cfg)
+    res_single = icp_mod.register_pair(reading, ref, jnp.eye(4), cfg)
+
+    np.testing.assert_allclose(
+        np.asarray(res_tiled.transform), np.asarray(res_single.transform), atol=2e-4
+    )
+    rot_err, trans_err = pose_error(np.asarray(res_tiled.transform), T_true)
+    assert trans_err < 1e-3
+
+
+def test_tile_partition_reduces_per_device_points(rng):
+    """The point of tile sharding: each device's reference slab is a
+    fraction of the map (capacity ~N/P + halo), not a replica."""
+    from open3d_slam_private_tpu.parallel import partition_tiles
+
+    ref_pts = make_surface_cloud(rng, 8000)
+    ref = pc.from_points(ref_pts, capacity=8192)
+    reading = pc.from_points(ref_pts[:2000], capacity=2048)
+    reading_tiles, reference_tiles, axis, cuts = partition_tiles(
+        reading, ref, np.eye(4), n_tiles=8, halo=0.3
+    )
+    assert reference_tiles.xyz.shape[0] == 8
+    # Per-tile capacity clearly below the full map capacity.
+    assert reference_tiles.xyz.shape[1] <= 8192 // 2
+    # Every reading point owned exactly once.
+    assert int(np.asarray(reading_tiles.mask).sum()) == int(np.asarray(reading.mask).sum())
+    # Halo: reference tiles may overlap, so total >= N.
+    assert int(np.asarray(reference_tiles.mask).sum()) >= int(np.asarray(ref.mask).sum())
