@@ -5,6 +5,7 @@ from open3d_slam_private_tpu.io.pointcloud_io import (
     load_ply,
     save_ply,
     save_csv,
+    save_vtk,
     load_pcd,
     save_pcd,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "load_ply",
     "save_ply",
     "save_csv",
+    "save_vtk",
     "load_pcd",
     "save_pcd",
 ]

@@ -81,25 +81,137 @@ def save_csv(path: str, points: np.ndarray, extras: Optional[Extras] = None) -> 
     np.savetxt(path, data, delimiter=",", header=",".join(names), comments="")
 
 
+_VTK_DTYPES = {
+    "float": (">f4", np.float32), "double": (">f8", np.float64),
+    "int": (">i4", np.int32), "unsigned_int": (">u4", np.uint32),
+    "short": (">i2", np.int16), "unsigned_short": (">u2", np.uint16),
+    "char": ("i1", np.int8), "unsigned_char": ("u1", np.uint8),
+    "long": (">i8", np.int64), "unsigned_long": (">u8", np.uint64),
+}
+
+
 def load_vtk(path: str) -> Tuple[np.ndarray, Extras]:
-    """ASCII legacy VTK polydata/unstructured points (the reference's test
-    clouds ``cloud.0000*.vtk``)."""
-    with open(path, "r") as f:
-        text = f.read()
-    m = re.search(r"POINTS\s+(\d+)\s+\w+", text)
-    if not m:
-        raise ValueError(f"no POINTS section in {path}")
-    n = int(m.group(1))
-    tail = text[m.end():]
-    # Parse exactly 3n floats following the POINTS header.
-    tokens = tail.split()
-    pts = np.array(tokens[: n * 3], dtype=np.float32).reshape(n, 3)
+    """Legacy VTK, ASCII **or BINARY** (big-endian, per the legacy spec),
+    polydata/unstructured points — the reference reads both
+    (``IO.cpp:380-930``/``loadVTK``). POINTS plus any NORMALS / SCALARS /
+    VECTORS point-data arrays (returned in ``extras`` under their VTK
+    names; NORMALS under ``"normals"``)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    # Header: line 1 version comment, line 2 title, line 3 ASCII|BINARY.
+    nl = 0
+    lines_end = []
+    for _ in range(3):
+        nl = raw.index(b"\n", nl) + 1
+        lines_end.append(nl)
+    fmt = raw[lines_end[1]: lines_end[2]].strip().upper()
+    binary = fmt == b"BINARY"
+    pos = lines_end[2]
+
+    def read_line(p):
+        e = raw.index(b"\n", p)
+        return raw[p:e].decode("ascii", errors="replace").strip(), e + 1
+
+    def read_array(p, count, vtk_type):
+        """Read ``count`` scalars of ``vtk_type`` starting at ``p``."""
+        be, host = _VTK_DTYPES[vtk_type]
+        if binary:
+            itemsize = np.dtype(be).itemsize
+            arr = np.frombuffer(raw, dtype=be, count=count, offset=p).astype(host)
+            q = p + count * itemsize
+            if q < len(raw) and raw[q: q + 1] == b"\n":
+                q += 1
+            return arr, q
+        # ASCII: take exactly `count` whitespace tokens.
+        toks = []
+        while len(toks) < count:
+            line, p = read_line(p)
+            toks.extend(line.split())
+        return np.array(toks[:count], dtype=host), p
+
+    pts = None
     extras: Extras = {}
-    nm = re.search(r"NORMALS\s+\w+\s+\w+", text)
-    if nm:
-        ntokens = text[nm.end():].split()
-        extras["normals"] = np.array(ntokens[: n * 3], dtype=np.float32).reshape(n, 3)
+    n_points = 0
+    while pos < len(raw):
+        line, pos2 = read_line(pos)
+        up = line.upper()
+        if up.startswith("POINTS"):
+            _, cnt, typ = line.split()[:3]
+            n_points = int(cnt)
+            arr, pos2 = read_array(pos2, n_points * 3, typ.lower())
+            pts = arr.reshape(n_points, 3).astype(np.float32)
+        elif up.startswith("NORMALS"):
+            typ = line.split()[2].lower()
+            arr, pos2 = read_array(pos2, n_points * 3, typ)
+            extras["normals"] = arr.reshape(n_points, 3).astype(np.float32)
+        elif up.startswith("VECTORS"):
+            name, typ = line.split()[1], line.split()[2].lower()
+            arr, pos2 = read_array(pos2, n_points * 3, typ)
+            extras[name] = arr.reshape(n_points, 3).astype(np.float32)
+        elif up.startswith("SCALARS"):
+            parts = line.split()
+            name, typ = parts[1], parts[2].lower()
+            ncomp = int(parts[3]) if len(parts) > 3 else 1
+            lookup, pos2 = read_line(pos2)  # LOOKUP_TABLE line
+            if not lookup.upper().startswith("LOOKUP_TABLE"):
+                raise ValueError(f"malformed SCALARS block in {path}")
+            arr, pos2 = read_array(pos2, n_points * ncomp, typ)
+            extras[name] = arr.reshape(n_points, ncomp).astype(np.float32)
+        elif up.startswith(("VERTICES", "POLYGONS", "LINES", "CELLS", "TRIANGLE_STRIPS")):
+            # Connectivity blocks: "<KEY> n size" then `size` ints — skip.
+            _, _n, size = line.split()[:3]
+            _, pos2 = read_array(pos2, int(size), "int")
+        elif up.startswith("CELL_TYPES"):
+            _, cnt = line.split()[:2]
+            _, pos2 = read_array(pos2, int(cnt), "int")
+        # POINT_DATA/CELL_DATA/FIELD headers and blank lines: fall through.
+        pos = pos2
+        if pts is not None and pos >= len(raw):
+            break
+    if pts is None:
+        raise ValueError(f"no POINTS section in {path}")
     return pts, extras
+
+
+def save_vtk(
+    path: str,
+    points: np.ndarray,
+    extras: Optional[Extras] = None,
+    binary: bool = False,
+) -> None:
+    """Legacy VTK polydata writer, ASCII or BINARY (big-endian) — round-trip
+    partner of :func:`load_vtk` (≙ ``IO.cpp``'s ``saveVTK``). Normals go to
+    a NORMALS block; other per-point extras to SCALARS blocks."""
+    extras = extras or {}
+    points = np.asarray(points, np.float32)
+    n = len(points)
+
+    def emit(f, arr):
+        arr = np.asarray(arr, np.float32)
+        if binary:
+            f.write(arr.astype(">f4").tobytes())
+            f.write(b"\n")
+        else:
+            np.savetxt(f, arr.reshape(n, -1), fmt="%.8g")
+
+    with open(path, "wb") as f:
+        f.write(b"# vtk DataFile Version 3.0\nopen3d_slam_private_tpu cloud\n")
+        f.write(b"BINARY\n" if binary else b"ASCII\n")
+        f.write(b"DATASET POLYDATA\n")
+        f.write(f"POINTS {n} float\n".encode())
+        emit(f, points)
+        if extras:
+            f.write(f"POINT_DATA {n}\n".encode())
+        if "normals" in extras:
+            f.write(b"NORMALS normals float\n")
+            emit(f, extras["normals"])
+        for name, arr in extras.items():
+            if name == "normals":
+                continue
+            arr = np.asarray(arr, np.float32).reshape(n, -1)
+            f.write(f"SCALARS {name} float {arr.shape[1]}\n".encode())
+            f.write(b"LOOKUP_TABLE default\n")
+            emit(f, arr)
 
 
 _PLY_DTYPES = {

@@ -616,6 +616,16 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                 and cfg.reading_step_random_prob is None
                 and var_md is None
             )
+            if cfg.fused_kernel and not fused_ok:
+                import warnings
+
+                warnings.warn(
+                    "fused_kernel=True but this chain is outside the fused "
+                    "pair-GN kernel's coverage (point-to-plane, 6-DoF, no "
+                    "degeneracy/robust/normal-gate/sharding, knn<=8); "
+                    "falling back to the XLA path",
+                    stacklevel=2,
+                )
             if fused_ok:
                 from open3d_slam_private_tpu.kernels import pair_gn_pallas as pgk
 
