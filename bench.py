@@ -124,7 +124,8 @@ def main():
     # iteration, exactly like the reference's param/icp.yaml.
     xicp_cfg = dataclasses.replace(
         light_cfg,
-        fused_kernel=False,  # fused kernel covers the plain chain only
+        # The analysis freezes per candidate-refresh round, so the in-round
+        # iterations run the fused pair-GN kernel + frozen-direction KKT.
         degeneracy=DegeneracyConfig(method="equality_constraints"),
     )
 

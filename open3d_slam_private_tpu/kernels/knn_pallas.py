@@ -14,10 +14,12 @@ stays VMEM-resident across all reference tiles of one query tile (the
 standard revisited-accumulator pattern).
 
 This is the hand-scheduled counterpart of ``ops.knn.knn_bruteforce`` (same
-semantics, k=1); used for dense verification workloads and as the template
-for future fused match+linearize kernels. The production sparse matcher
-(``ops.cell_list``) remains the scan-to-map hot path — its measured XLA
-gather+rank already runs near the achievable rate.
+semantics, k=1), reachable from the engine as ``ICPConfig(matcher=
+"brute_pallas")`` — the dense matcher for workloads with no spatial
+structure to hash (small skeleton scans against whole maps, verification
+sweeps). The sparse cell-list (``ops.cell_list``) remains the scan-to-map
+hot path — its measured XLA gather+rank already runs near the achievable
+rate.
 """
 
 from __future__ import annotations

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -46,7 +47,10 @@ class ICPConfig:
     # Matcher (≙ param/icp.yaml matcher block: knn, maxDist, epsilon).
     knn: int = 1
     max_match_dist: float = jnp.inf
-    matcher: str = "grid"  # "grid" | "brute"
+    # "grid": cell-list spatial hash (production scan-to-map);
+    # "brute": XLA O(N*M) KNN; "brute_pallas": streaming MXU 1-NN Pallas
+    # kernel (dense small-query workloads, e.g. skeleton-scan sweeps).
+    matcher: str = "grid"
     grid_table_size: int = 1 << 15
     # Per-cell candidate list capacity: size for the density of the map
     # (points within match radius of a cell; ~40 for a 0.15 m-voxel map at
@@ -245,6 +249,31 @@ def _match(
         return cell_mod.cell_match(
             ref.grid, src_xyz, src_mask, k=cfg.knn, max_dist=max_dist
         )
+    if cfg.matcher == "brute_pallas":
+        # Streaming MXU brute-force 1-NN (flash-attention-style tiles): the
+        # dense matcher for workloads with no spatial structure to hash —
+        # small skeleton scans vs whole maps, verification sweeps.
+        if cfg.knn != 1:
+            raise ValueError("brute_pallas matcher supports knn=1 only")
+        from open3d_slam_private_tpu.kernels import knn_pallas as kpk
+
+        d2, ids = kpk.knn_bruteforce_pallas(
+            src_xyz, ref.cloud.padded_xyz(),
+            interpret=jax.default_backend() != "tpu",
+        )
+        ok = src_mask & (d2 <= jnp.asarray(max_dist) ** 2)
+        ids = jnp.where(ok, ids, knn_mod.INVALID_ID)
+        d2 = jnp.where(ok, d2, jnp.inf)
+        ids_safe = jnp.maximum(ids, 0)
+        q = ref.cloud.xyz[ids_safe]
+        mn = (
+            ref.cloud.normals[ids_safe]
+            if ref.cloud.normals is not None
+            else jnp.zeros_like(q)
+        )
+        return grid_mod.MatchResult(
+            dists=d2[:, None], ids=ids[:, None], xyz=q[:, None], normals=mn[:, None]
+        )
     res = knn_mod.knn_bruteforce(
         src_xyz, src_mask, ref.cloud.padded_xyz(), ref.cloud.mask,
         k=cfg.knn, max_dist=cfg.max_match_dist,
@@ -305,15 +334,21 @@ def _weights(res, reading, matched_normals_flat, cfg: ICPConfig, trim_limit=None
     return w
 
 
-def _solve(A, b, src_flat, mn_flat, ddn, pair_mask, cfg: ICPConfig):
+def _solve(A, b, src_flat, mn_flat, ddn, pair_mask, cfg: ICPConfig, frozen_loc=None):
     method = cfg.degeneracy.method
     if method == "solution_remapping":
         x, loc = xicp.solve_with_solution_remapping(A, b, cfg.degeneracy)
     elif method == "equality_constraints":
-        loc = xicp.analyze_equality_constraints(
-            A, b, src_flat, mn_flat, ddn, pair_mask, cfg.degeneracy,
-            axis_name=cfg.shard_axis, with_spectrum=False,
-        )
+        if frozen_loc is not None:
+            # Round-frozen analysis (DegeneracyConfig.analysis_per_round):
+            # reuse the constrained-direction decision computed at round
+            # start; only the KKT solve runs on this iteration's A, b.
+            loc = frozen_loc
+        else:
+            loc = xicp.analyze_equality_constraints(
+                A, b, src_flat, mn_flat, ddn, pair_mask, cfg.degeneracy,
+                axis_name=cfg.shard_axis, with_spectrum=False,
+            )
         x = xicp.solve_with_equality_constraints(A, b, loc)
     else:
         # Fast path: damped LU; spectral diagnostics are computed once from
@@ -356,7 +391,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             cfg.max_match_dist,
         )
 
-    def gn_update(T, src, res, trim_limit=None, step_it=None):
+    def gn_update(T, src, res, trim_limit=None, step_it=None, frozen_loc=None):
         # Pair axis M: cfg.knn for gathered matches, full candidate capacity
         # for the masked candidate-major layout (extra slots carry w = 0).
         m = res.ids.shape[1]
@@ -439,8 +474,14 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                 A, b = _allsum(A), _allsum(b)
                 A_out = A
                 if cfg.degeneracy.method != "none":
-                    ddn = jnp.sum((src_flat - q) * mn, axis=-1)
-                    x, loc = _solve(A, b, src_flat, mn, ddn, pair_mask & (w > 0), cfg)
+                    if frozen_loc is None:
+                        ddn = jnp.sum((src_flat - q) * mn, axis=-1)
+                    else:
+                        ddn = None  # unused when the analysis is frozen
+                    x, loc = _solve(
+                        A, b, src_flat, mn, ddn, pair_mask & (w > 0), cfg,
+                        frozen_loc=frozen_loc,
+                    )
                 else:
                     x = minimizers.solve_normal_equations_fast(A, b)
                     loc = xicp._identity_result(dtype)
@@ -601,12 +642,52 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             # staleness, so this matches the cache-mode contract.
             pair_ok = res0.ids >= 0
 
+            # Round-frozen X-ICP analysis: the constrained-direction decision
+            # is computed ONCE per refresh round from the round-start pose and
+            # the freshly selected pairs, then reused by every in-round
+            # iteration (which still solves its own KKT on fresh A, b). Same
+            # staleness bound as the pair cache. Saves the ~dozen 64k-element
+            # alignment/contribution streams on R-1 of R iterations.
+            frozen_loc = None
+            if (
+                cfg.degeneracy.method == "equality_constraints"
+                and cfg.degeneracy.analysis_per_round
+                and cfg.minimizer == "point_to_plane"
+                and not cfg.force_2d
+                and not cfg.force_4dof
+            ):
+                q0 = res0.xyz.reshape(-1, 3)
+                mn0 = res0.normals.reshape(-1, 3)
+                w0 = _weights(res0, reading, mn0, cfg, trim_limit=trim_limit)
+                src0_flat = jnp.repeat(src0, res0.ids.shape[1], axis=0)
+                pm0 = res0.valid().reshape(-1)
+                A0, b0 = minimizers.point_to_plane_normal_equations_bc(
+                    src0, res0.xyz, res0.normals, w0.reshape(res0.ids.shape)
+                )
+                A0, b0 = _allsum(A0), _allsum(b0)
+                ddn0 = jnp.sum((src0_flat - q0) * mn0, axis=-1)
+                frozen_loc = xicp.analyze_equality_constraints(
+                    A0, b0, src0_flat, mn0, ddn0, pm0 & (w0 > 0),
+                    cfg.degeneracy, axis_name=cfg.shard_axis,
+                    with_spectrum=False,
+                )
+
+            # Off-TPU the kernel only runs in the (very slow) Pallas
+            # interpreter — fall back to the numerically equivalent XLA path
+            # there unless tests explicitly opt in via O3S_FUSED_INTERPRET.
+            backend_ok = jax.default_backend() == "tpu" or bool(
+                int(os.environ.get("O3S_FUSED_INTERPRET", "0"))
+            )
             fused_ok = (
                 cfg.fused_kernel
+                and backend_ok
                 and cfg.minimizer == "point_to_plane"
                 and not cfg.force_4dof
                 and not cfg.force_2d
-                and cfg.degeneracy.method == "none"
+                # X-ICP is fusable when the analysis freezes per round: the
+                # in-round iteration then needs only A, b (the kernel's
+                # outputs) + the frozen-direction KKT solve.
+                and (cfg.degeneracy.method == "none" or frozen_loc is not None)
                 and cfg.shard_axis is None
                 and cfg.var_trimmed is None
                 and cfg.median_factor is None
@@ -616,7 +697,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                 and cfg.reading_step_random_prob is None
                 and var_md is None
             )
-            if cfg.fused_kernel and not fused_ok:
+            if cfg.fused_kernel and backend_ok and not fused_ok:
                 import warnings
 
                 warnings.warn(
@@ -640,9 +721,13 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                         soa, T, tau, max_d2,
                         interpret=jax.default_backend() != "tpu",
                     )
-                    x = minimizers.solve_spd_unrolled(A, b)
+                    if frozen_loc is not None:
+                        x = xicp.solve_with_equality_constraints(A, b, frozen_loc)
+                        loc = frozen_loc
+                    else:
+                        x = minimizers.solve_spd_unrolled(A, b)
+                        loc = xicp._identity_result(dtype)
                     dT = minimizers.delta_transform_from_x(x)
-                    loc = xicp._identity_result(dtype)
                     resid = jnp.sqrt(swr2 / jnp.maximum(sw, 1e-9))
                     return dT, loc, nok / denom, sw / denom, resid, A
 
@@ -669,6 +754,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                         gn_update(
                             si["T"], src, res,
                             trim_limit=trim_limit, step_it=si["it"],
+                            frozen_loc=frozen_loc,
                         ),
                     ),
                     i + 1,

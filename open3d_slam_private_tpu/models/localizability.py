@@ -51,6 +51,14 @@ class DegeneracyConfig:
     insufficient_information_threshold: float = 40.0
     weak_alignment_cos: float = 0.17364818  # cos(80 deg)
     strong_alignment_cos: float = 0.70710678  # cos(45 deg)
+    # Freeze the localizability analysis per candidate-refresh round instead
+    # of recomputing it every iteration (candidate-cached grid mode only).
+    # The constrained-direction decision is geometric and changes on the
+    # same slow timescale as the pair selection, so this shares the pair
+    # cache's staleness contract; the KKT solve still runs on each
+    # iteration's fresh normal equations. The reference recomputes per
+    # iteration (ICP.cpp:1079-1172) — set False for reference-exact cadence.
+    analysis_per_round: bool = True
 
 
 @jax.tree_util.register_dataclass

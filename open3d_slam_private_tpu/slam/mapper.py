@@ -69,10 +69,12 @@ class MapperConfig:
             candidate_refresh_every=10,
             candidate_slack=0.25,
             fast_trimming=True,
+            fused_kernel=True,
             # The reference production config runs X-ICP degeneracy
-            # awareness every iteration (param/icp.yaml degeneracyAwareness:
+            # awareness (param/icp.yaml degeneracyAwareness:
             # OptimizedEqualityConstraints; ICP.cpp:1079-1172) — so does the
-            # production default here.
+            # production default here (analysis frozen per candidate-refresh
+            # round; in-round iterations run the fused pair-GN kernel + KKT).
             degeneracy=DegeneracyConfig(method="equality_constraints"),
         )
     )

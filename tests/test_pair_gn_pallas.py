@@ -1,5 +1,11 @@
 """Fused pair-GN Pallas kernel vs the XLA broadcast normal equations."""
 
+import os
+
+# Off-TPU the engine only takes the fused path with this opt-in (the
+# Pallas interpreter is slow but exact); set it before any registration.
+os.environ.setdefault("O3S_FUSED_INTERPRET", "1")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,3 +122,44 @@ def test_fused_icp_vmapped(rng):
     T = np.asarray(res.transform)
     assert T.shape == (2, 4, 4)
     np.testing.assert_allclose(T[:, :3, 3], 0.0, atol=0.01)
+
+
+def test_fused_xicp_matches_xla_path(rng):
+    """X-ICP chain with round-frozen analysis: the fused kernel + KKT solve
+    must reproduce the unfused XLA path exactly."""
+    import dataclasses
+
+    import jax
+
+    from open3d_slam_private_tpu.models import icp as icp_mod
+    from open3d_slam_private_tpu.models.localizability import DegeneracyConfig
+    from open3d_slam_private_tpu.ops import normals as normals_mod
+    from open3d_slam_private_tpu.ops.pointcloud import from_points
+
+    pts = np.c_[rng.uniform(-6, 6, (2000, 2)),
+                0.3 * np.sin(rng.uniform(-6, 6, (2000, 1)))].astype(np.float32)
+    ref_b = normals_mod.estimate_normals(
+        from_points(jnp.asarray(pts), capacity=2048), knn=8, max_dist=1.0,
+        orient_towards=(0.0, 0.0, 10.0),
+    )
+    T_true = np.asarray(se3.exp_se3(jnp.asarray(
+        [0.01, -0.02, 0.03, 0.06, -0.04, 0.02], jnp.float32)))
+    moved = pts @ np.linalg.inv(T_true)[:3, :3].T + np.linalg.inv(T_true)[:3, 3]
+    reading = from_points(jnp.asarray(moved.astype(np.float32)), capacity=2048)
+    base = icp_mod.ICPConfig(
+        knn=1, max_match_dist=1.0, matcher="grid", grid_table_size=1 << 12,
+        grid_bucket_cap=48, trimmed_ratio=0.85, max_iterations=12,
+        coarse_iterations=0, candidate_refresh_every=6, candidate_slack=0.3,
+        fast_trimming=True,
+        degeneracy=DegeneracyConfig(method="equality_constraints"),
+    )
+    r_u = icp_mod.register_pair(reading, ref_b, jnp.eye(4), base)
+    r_f = icp_mod.register_pair(
+        reading, ref_b, jnp.eye(4), dataclasses.replace(base, fused_kernel=True)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_f.transform), np.asarray(r_u.transform), atol=5e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_f.localizability_trans), np.asarray(r_u.localizability_trans)
+    )
