@@ -696,6 +696,9 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                 and cfg.knn <= 8
                 and cfg.reading_step_random_prob is None
                 and var_md is None
+                # The kernel applies trimming as a frozen threshold; without
+                # one (fast_trimming off) it would silently drop trimming.
+                and (cfg.trimmed_ratio is None or trim_limit is not None)
             )
             if cfg.fused_kernel and backend_ok and not fused_ok:
                 import warnings

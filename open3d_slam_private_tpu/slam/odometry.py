@@ -50,6 +50,8 @@ class OdometryConfig:
             min_diff_rot=1e-3,
             min_diff_trans=1e-3,
             candidate_refresh_every=5,
+            fast_trimming=True,
+            fused_kernel=True,  # falls back to XLA off-TPU
         )
     )
     min_fitness: float = 0.1  # ≙ Odometry.cpp:56 fitness gate

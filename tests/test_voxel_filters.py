@@ -194,9 +194,17 @@ def test_remove_sensor_bias(rng):
     pts = np.array([[10.0, 0, 0.0]], np.float32)
     b = pc.from_points(pts, extras={"normals": np.array([[-1.0, 0, 0]], np.float32)})
     b = filters.incidence_angle(b)
-    out = filters.remove_sensor_bias(b, k0=0.05, k1=0.001)
+    out = filters.remove_sensor_bias(b, sensor_type=0)
     r = float(np.linalg.norm(np.asarray(out.xyz)[0]))
     assert r < 10.0 and r > 9.9
+    # High-incidence points are dropped, not corrected (reference behavior).
+    grazing = pc.from_points(
+        np.array([[10.0, 0, 0.0]], np.float32),
+        extras={"normals": np.array([[0.0, 1.0, 0]], np.float32)},
+    )
+    grazing = filters.incidence_angle(grazing)
+    dropped = filters.remove_sensor_bias(grazing, angle_threshold_deg=88.0)
+    assert int(dropped.count()) == 0
 
 
 def test_hidden_point_removal(rng):
