@@ -7,6 +7,7 @@ TPU-native counterparts of the reference's executables:
 - ``run-slam``  ≙ ``mapping_node.cpp`` offline replay (directory of scans
   processed deterministically in order)
 - ``list-modules`` ≙ ``examples/list_modules.cpp``
+- ``compute-overlap`` ≙ ``examples/compute_overlap.cpp``
 - ``bench``     runs the repository benchmark
 
 Usage: ``python -m open3d_slam_private_tpu.cli <command> ...``.
@@ -220,6 +221,29 @@ def _cmd_evaluate(args) -> int:
     return 0
 
 
+def _cmd_compute_overlap(args) -> int:
+    """≙ ``examples/compute_overlap.cpp``: fraction of cloud A's points with
+    a cloud-B point within ``--radius`` (and the reverse)."""
+    from open3d_slam_private_tpu.io import load_cloud
+    from open3d_slam_private_tpu.ops import pointcloud as pc
+    from open3d_slam_private_tpu.slam.constraint_builders import overlap_fraction
+
+    def load(path):
+        pts, _ = load_cloud(path)
+        cap = 1 << max(int(np.ceil(np.log2(max(len(pts), 2)))), 3)
+        return pc.from_points(pts, capacity=cap)
+
+    a, b = load(args.cloud_a), load(args.cloud_b)
+    ab = overlap_fraction(a, b, radius=args.radius)
+    ba = overlap_fraction(b, a, radius=args.radius)
+    print(json.dumps({
+        "overlap_a_in_b": round(ab, 4),
+        "overlap_b_in_a": round(ba, 4),
+        "radius": args.radius,
+    }))
+    return 0
+
+
 def _cmd_list_modules(args) -> int:
     from open3d_slam_private_tpu.config.registry import FILTER_REGISTRY
 
@@ -281,6 +305,12 @@ def main(argv=None) -> int:
 
     pl = sub.add_parser("list-modules", help="list supported chain modules")
     pl.set_defaults(fn=_cmd_list_modules)
+
+    po = sub.add_parser("compute-overlap", help="overlap fraction between two clouds")
+    po.add_argument("cloud_a")
+    po.add_argument("cloud_b")
+    po.add_argument("--radius", type=float, default=0.5)
+    po.set_defaults(fn=_cmd_compute_overlap)
 
     pb = sub.add_parser("bench", help="run the benchmark")
     pb.set_defaults(fn=_cmd_bench)

@@ -2,6 +2,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from open3d_slam_private_tpu import evaluation
 from open3d_slam_private_tpu.geometry import se3
@@ -10,6 +11,7 @@ from open3d_slam_private_tpu.models import icp as icp_mod
 from tests.test_icp import BASE_CFG, make_surface_cloud
 
 
+@pytest.mark.slow
 def test_evaluate_and_report(rng, tmp_path):
     cases = []
     for i in range(3):

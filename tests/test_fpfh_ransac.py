@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from open3d_slam_private_tpu.geometry import se3
 from open3d_slam_private_tpu.models import ransac
@@ -132,6 +133,7 @@ def landmark_scene(rng, n_boxes=7):
     return out + rng.normal(size=out.shape).astype(np.float32) * 0.005
 
 
+@pytest.mark.slow
 def test_fpfh_ransac_end_to_end(rng):
     """Coarse alignment from features alone (no initial guess) on a
     landmark-rich scene with mutual-nearest correspondence filtering."""

@@ -51,6 +51,7 @@ def pose_error(T_est, T_true):
     return rot_err, trans_err
 
 
+@pytest.mark.slow
 def test_point_to_plane_recovers_transform(rng):
     ref_pts = make_surface_cloud(rng)
     ref = with_normals(ref_pts)
@@ -68,6 +69,7 @@ def test_point_to_plane_recovers_transform(rng):
     assert float(res.overlap_ratio) > 0.85
 
 
+@pytest.mark.slow
 def test_grid_matcher_matches_brute(rng):
     ref_pts = make_surface_cloud(rng)
     ref = with_normals(ref_pts)
@@ -210,6 +212,7 @@ def test_equality_constraints_well_constrained_matches_vanilla(rng):
     )
 
 
+@pytest.mark.slow
 def test_register_hypotheses(rng):
     ref_pts = make_surface_cloud(rng, 900)
     ref = with_normals(ref_pts, capacity=1024)
@@ -232,6 +235,7 @@ def test_register_hypotheses(rng):
     assert trans_err < 2e-3
 
 
+@pytest.mark.slow
 def test_register_batch(rng):
     B = 3
     readings, refs, inits, trues = [], [], [], []
@@ -278,6 +282,7 @@ def test_gicp_recovers_transform(rng):
     assert rot_err < 2e-4, rot_err
 
 
+@pytest.mark.slow
 def test_gicp_beats_point_to_point_on_sliding_planes(rng):
     # Two offset parallel planes sliding: plane-to-plane cost should still
     # lock z while tolerating in-plane sampling differences.
@@ -373,6 +378,7 @@ def test_inspector_trace_and_dump(rng, tmp_path):
     assert s["IterationsCount"]["last"] == 12
 
 
+@pytest.mark.slow
 def test_bound_checker_aborts_runaway(rng):
     """A mostly-unconstrained problem that would slide far gets frozen at
     the prior when the bound checker fires (≙ BoundTransformationChecker:
@@ -408,6 +414,7 @@ def test_covariance_shape_and_scale(rng):
     assert np.all(np.diag(C) < 1e-3)
 
 
+@pytest.mark.slow
 def test_icp_sequence_api(rng):
     ref_pts = make_surface_cloud(rng, 900)
     ref = with_normals(ref_pts)
@@ -430,6 +437,7 @@ def test_icp_sequence_api(rng):
     assert not seq.has_map()
 
 
+@pytest.mark.slow
 def test_packed_payload_icp_matches_exact(rng):
     ref_pts = make_surface_cloud(rng)
     ref = with_normals(ref_pts)
@@ -472,6 +480,7 @@ def test_unrolled_spd_solver_matches_numpy(rng):
         np.testing.assert_allclose(A @ x, b, atol=2e-4 * np.abs(b).max() + 1e-4)
 
 
+@pytest.mark.slow
 def test_anderson_acceleration_reduces_iterations(rng):
     """AA(1) (AA-ICP, arxiv 1709.05479) cuts vanilla-ICP iterations on a
     slow-converging problem and lands on the same pose."""

@@ -32,6 +32,7 @@ def test_pallas_knn_nonaligned_sizes(rng):
     assert np.asarray(i).max() < 401
 
 
+@pytest.mark.slow
 def test_brute_pallas_matcher_registration(rng):
     """matcher="brute_pallas" must reproduce the plain brute engine result
     end-to-end (same correspondences -> same transform)."""

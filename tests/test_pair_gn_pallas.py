@@ -8,6 +8,7 @@ os.environ.setdefault("O3S_FUSED_INTERPRET", "1")
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from open3d_slam_private_tpu.kernels.pair_gn_pallas import pair_gn_fused
 from open3d_slam_private_tpu.models import minimizers
@@ -61,6 +62,7 @@ def test_fused_kernel_no_trim(rng):
     assert np.isfinite(np.asarray(A)).all() and np.isfinite(np.asarray(b)).all()
 
 
+@pytest.mark.slow
 def test_fused_icp_matches_xla_path(rng):
     """icp_single with cfg.fused_kernel ~= the XLA cached path."""
     import dataclasses
@@ -93,6 +95,7 @@ def test_fused_icp_matches_xla_path(rng):
     assert abs(float(res_fused.overlap_ratio) - float(res_xla.overlap_ratio)) < 0.05
 
 
+@pytest.mark.slow
 def test_fused_icp_vmapped(rng):
     import dataclasses
 
@@ -124,6 +127,7 @@ def test_fused_icp_vmapped(rng):
     np.testing.assert_allclose(T[:, :3, 3], 0.0, atol=0.01)
 
 
+@pytest.mark.slow
 def test_fused_xicp_matches_xla_path(rng):
     """X-ICP chain with round-frozen analysis: the fused kernel + KKT solve
     must reproduce the unfused XLA path exactly."""

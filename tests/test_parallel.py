@@ -46,6 +46,7 @@ def test_register_batch_sharded(rng):
         assert trans_err < 3e-3, (i, trans_err)
 
 
+@pytest.mark.slow
 def test_register_point_sharded_matches_single(rng):
     mesh = make_mesh(batch=1, points=8)
     ref_pts = make_surface_cloud(rng, 1500)
@@ -78,6 +79,7 @@ def test_point_sharded_grid_matcher(rng):
     assert trans_err < 2e-3
 
 
+@pytest.mark.slow
 def test_pose_graph_edge_sharded_matches_single(rng):
     """Multi-host pose-graph GN: edges sharded over the mesh, (H, g)
     psum-reduced — must match the single-device optimization."""
@@ -133,6 +135,7 @@ def test_pose_graph_edge_sharded_matches_single(rng):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_register_tile_sharded_matches_single(rng):
     """Tile-sharded mode must reproduce the replicated/single-device result
     (same correspondences; f32 summation-order differences only)."""

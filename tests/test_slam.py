@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -168,6 +169,7 @@ class TestSubmap:
 
 
 class TestCloudRegistrationFacade:
+    @pytest.mark.slow
     def test_all_types_register(self, rng):
         import sys
         sys.path.insert(0, '/root/repo/tests')

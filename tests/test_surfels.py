@@ -1,5 +1,6 @@
 """Elipsoids / Gestalt surfel descriptors and the force2D minimizer."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -56,6 +57,7 @@ def test_gestalt_descriptor_heights(rng):
     assert np.all(np.isfinite(np.asarray(out["variances"])))
 
 
+@pytest.mark.slow
 def test_force2d_registration_recovers_yaw_xy(rng):
     # A 2.5-D world: walls + floor. True motion is planar.
     pts = []
