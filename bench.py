@@ -240,6 +240,52 @@ def main():
     hyp_dt = time.perf_counter() - t0 - rt
     hyps_per_s = H / hyp_dt
 
+    # Pose-graph optimization (the BASELINE "multi-session / loop-closure
+    # pose-graph GN" workload): 256-node loop trajectory, odometry edges +
+    # 32 loop closures, DCS robust kernel, 15 GN/LM iterations on device.
+    from open3d_slam_private_tpu.slam import pose_graph as pg
+
+    KN = 256
+    builder = pg.PoseGraphBuilder(node_capacity=KN, edge_capacity=KN + 32)
+    rng_g = np.random.default_rng(11)
+    poses_gt = []
+    T_acc = np.eye(4, dtype=np.float32)
+    step = np.asarray(
+        se3.exp_se3(jnp.asarray([0, 0, 2 * np.pi / KN, 0.4, 0, 0], jnp.float32))
+    )
+    for k in range(KN):
+        builder.add_node(T_acc)
+        poses_gt.append(T_acc.copy())
+        T_acc = (T_acc @ step).astype(np.float32)
+    for k in range(KN - 1):
+        noise = se3.exp_se3(jnp.asarray(
+            np.r_[rng_g.normal(0, 0.002, 3), rng_g.normal(0, 0.01, 3)], jnp.float32))
+        builder.add_edge(k, k + 1, np.linalg.inv(poses_gt[k]) @ poses_gt[k + 1] @ np.asarray(noise))
+    for n in range(32):
+        i = int(rng_g.integers(0, KN // 2))
+        j = (i + KN // 2) % KN
+        builder.add_edge(i, j, np.linalg.inv(poses_gt[i]) @ poses_gt[j], is_loop=True)
+    graph = builder.build()
+    pg_cfg = pg.PoseGraphConfig(iterations=15)
+    pose_jitter = jnp.asarray(
+        se3.exp_se3(jnp.asarray([0.002, -0.001, 0.003, 0.01, -0.02, 0.01], jnp.float32))
+    )
+
+    @jax.jit
+    def pg_round(poses):
+        g = dataclasses.replace(graph, poses=poses @ pose_jitter)
+        return pg.optimize(g, pg_cfg).poses
+
+    p_out = pg_round(graph.poses)
+    sync(p_out)
+    PG_ROUNDS = 5
+    t0 = time.perf_counter()
+    for _ in range(PG_ROUNDS):
+        p_out = pg_round(p_out)
+    sync(p_out)
+    pg_dt = time.perf_counter() - t0 - rt
+    pg_per_s = PG_ROUNDS / pg_dt
+
     baseline_per_chip = 250.0  # 2000/s on 8 chips
     print(
         json.dumps(
@@ -264,6 +310,7 @@ def main():
                     "mean_iterations": round(xicp["mean_iters"], 1),
                     "workload": "noise 1.5cm, 240deg wedge, 3% clutter, 0.1m/1.2deg prior error",
                     "relocalization_hypotheses_per_s": round(hyps_per_s, 0),
+                    "pose_graph_256n_288e_15it_per_s": round(pg_per_s, 2),
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -104,6 +104,19 @@ def deserialize(
             )
         extras["normals"] = np.stack(comps, axis=1)
 
+    # Packed PCL colors: a float32 whose bits are 0x00RRGGBB (or 0xAARRGGBB
+    # for "rgba") -> colors [N, 3] in [0, 1] (≙ the color path of the
+    # reference's RosPointCloud2Deserializer).
+    frgb = msg.field("rgb") or msg.field("rgba")
+    if frgb is not None:
+        raw = np.frombuffer(msg.data, np.uint8).reshape(msg.n_points, msg.point_step)
+        packed = raw[:, frgb.offset: frgb.offset + 4].copy().view(np.uint32)[:, 0]
+        packed = packed[np.asarray(mask, bool)]  # same NaN-drop as xyz
+        r = ((packed >> 16) & 0xFF).astype(np.float32) / 255.0
+        g = ((packed >> 8) & 0xFF).astype(np.float32) / 255.0
+        b = (packed & 0xFF).astype(np.float32) / 255.0
+        extras["colors"] = np.stack([r, g, b], axis=1)
+
     return pc.from_points(xyz, capacity=capacity, extras=extras)
 
 
@@ -126,6 +139,12 @@ def serialize(batch: pc.PointBatch, stamp: float = 0.0) -> PointCloud2Like:
                 fields.append(PointField(n, off, FLOAT32))
                 off += 4
             cols.append(v)
+        elif name == "colors" and v.ndim == 2 and v.shape[1] == 3:
+            c = (np.clip(v, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint32)
+            packed = (c[:, 0] << 16) | (c[:, 1] << 8) | c[:, 2]
+            fields.append(PointField("rgb", off, FLOAT32))
+            off += 4
+            cols.append(packed.view(np.float32)[:, None])
         elif v.ndim == 2 and v.shape[1] == 1:
             fields.append(PointField("times" if name == "times" else name, off, FLOAT32))
             off += 4

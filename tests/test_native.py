@@ -127,3 +127,33 @@ class TestSensorMsgs:
         bad = sm.PointCloud2Like(msg.data, msg.width, msg.point_step, msg.fields[:2])
         with pytest.raises(ValueError):
             sm.deserialize(bad)
+
+
+def test_pointcloud2_rgb_roundtrip(rng):
+    """Packed PCL rgb float (0x00RRGGBB) decodes to colors [N,3] in [0,1]
+    and survives serialize->deserialize (≙ the color cases of the
+    reference's RosPointCloud2DeserializerTest)."""
+    from open3d_slam_private_tpu.io import sensor_msgs as sm
+
+    n = 64
+    xyz = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    rgb = rng.integers(0, 256, (n, 3)).astype(np.uint32)
+    packed = (rgb[:, 0] << 16) | (rgb[:, 1] << 8) | rgb[:, 2]
+    step = 16
+    buf = np.zeros((n, step), np.uint8)
+    buf[:, 0:12] = xyz.view(np.uint8).reshape(n, 12)
+    buf[:, 12:16] = packed[:, None].view(np.uint8)
+    msg = sm.PointCloud2Like(
+        buf.tobytes(), n, step,
+        [sm.PointField("x", 0, sm.FLOAT32), sm.PointField("y", 4, sm.FLOAT32),
+         sm.PointField("z", 8, sm.FLOAT32), sm.PointField("rgb", 12, sm.FLOAT32)],
+    )
+    batch = sm.deserialize(msg, capacity=64)
+    cols = np.asarray(batch.extras["colors"])[:n]
+    np.testing.assert_allclose(cols, rgb.astype(np.float32) / 255.0, atol=1e-6)
+
+    msg2 = sm.serialize(batch)
+    batch2 = sm.deserialize(msg2, capacity=64)
+    np.testing.assert_allclose(
+        np.asarray(batch2.extras["colors"])[:n], cols, atol=1 / 255.0
+    )
