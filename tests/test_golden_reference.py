@@ -146,6 +146,11 @@ def _speed_overrides(cfg):
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(
+    jax.default_backend() != "cpu",
+    reason="numerics-parity tier (one fresh XLA program per yaml chain) runs "
+    "on CPU; the TPU suite covers the 6-golden smoke above",
+)
 @pytest.mark.parametrize("name", ALL_GOLDEN_YAMLS)
 def test_per_config_golden(raw_clouds, name):
     doc = registry.load_yaml(os.path.join(ICP_DATA, name + ".yaml"))
