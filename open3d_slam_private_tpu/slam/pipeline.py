@@ -463,8 +463,11 @@ class OnlineSlamRunner:
     The pipeline itself stays single-owner — only the worker touches it."""
 
     def __init__(self, pipeline: SlamPipeline, queue_size: int = 20):
+        import collections
+
         self.pipeline = pipeline
         self._q: "queue.Queue" = queue.Queue(maxsize=queue_size)
+        self._imu_q: "collections.deque" = collections.deque(maxlen=4096)
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self.dropped = 0
@@ -472,26 +475,42 @@ class OnlineSlamRunner:
     def start(self) -> None:
         self._worker.start()
 
-    def add_range_scan(self, scan: pc.PointBatch, time: float) -> None:
+    def add_range_scan(
+        self,
+        scan: pc.PointBatch,
+        time: float,
+        odom_pose: "Optional[np.ndarray]" = None,
+    ) -> None:
         """Non-blocking enqueue; drops oldest under backpressure
-        (≙ CircularBuffer semantics)."""
+        (≙ CircularBuffer semantics). ``odom_pose``: the external odometry
+        pose to pair with this scan (≙ the odometry-topic path)."""
         try:
-            self._q.put_nowait((scan, time))
+            self._q.put_nowait((scan, time, odom_pose))
         except queue.Full:
             try:
                 self._q.get_nowait()
                 self.dropped += 1
             except queue.Empty:
                 pass
-            self._q.put_nowait((scan, time))
+            self._q.put_nowait((scan, time, odom_pose))
+
+    def add_imu(self, time: float, acc, gyro) -> None:
+        """Enqueue one IMU sample (≙ the imu callback); drained by the
+        worker before each scan so the pipeline stays single-owner."""
+        self._imu_q.append((time, acc, gyro))
 
     def _run(self) -> None:
         while not self._stop.is_set():
             try:
-                scan, t = self._q.get(timeout=0.1)
+                scan, t, odom = self._q.get(timeout=0.1)
             except queue.Empty:
                 continue
-            self.pipeline.process_scan(scan, t)
+            # Drain buffered IMU samples first (attitude boot needs them
+            # before the first scan registers).
+            while self._imu_q:
+                it, acc, gyro = self._imu_q.popleft()
+                self.pipeline.add_imu(it, acc, gyro)
+            self.pipeline.process_scan(scan, t, external_odom_pose=odom)
 
     def stop(self) -> None:
         self._stop.set()

@@ -286,3 +286,46 @@ def test_dense_map_builds_alongside(rng):
     from scipy.spatial import cKDTree
     d, _ = cKDTree(sparse).query(dm[::20], k=1)
     assert np.median(d) < 0.5
+
+
+@pytest.mark.slow
+def test_online_runner_matches_offline(rng):
+    """OnlineSlamRunner (threaded, ≙ the worker-thread front-end) must
+    reproduce offline deterministic stepping when nothing is dropped,
+    including IMU ingestion and external odometry pass-through."""
+    import time as time_mod
+
+    from open3d_slam_private_tpu.slam.pipeline import OnlineSlamRunner
+
+    world = make_world(rng)
+    cfg = dataclasses.replace(small_config(), use_external_odometry=True,
+                              use_imu_attitude_init=False)
+    step = np.eye(4)
+    step[0, 3] = 0.5
+    scans, poses = [], []
+    pose = np.eye(4)
+    for i in range(4):
+        if i > 0:
+            pose = pose @ step
+        scans.append(pc.from_points(scan_at(world, pose, 2000, seed=i), capacity=2048))
+        poses.append(pose.copy())
+
+    offline = SlamPipeline(cfg)
+    for i, (s, p) in enumerate(zip(scans, poses)):
+        offline.process_scan(s, time=0.1 * i, external_odom_pose=p)
+
+    online_pipe = SlamPipeline(cfg)
+    runner = OnlineSlamRunner(online_pipe, queue_size=8)
+    runner.start()
+    for k in range(5):
+        runner.add_imu(0.001 * k, (0.0, 0.0, 9.81), (0.0, 0.0, 0.0))
+    for i, (s, p) in enumerate(zip(scans, poses)):
+        runner.add_range_scan(s, time=0.1 * i, odom_pose=p)
+    deadline = time_mod.time() + 120.0
+    while len(online_pipe.stats) < 4 and time_mod.time() < deadline:
+        time_mod.sleep(0.05)
+    runner.stop()
+
+    assert len(online_pipe.stats) == 4 and runner.dropped == 0
+    assert len(online_pipe.imu_buffer) == 5
+    np.testing.assert_allclose(online_pipe.pose, offline.pose, atol=1e-6)
