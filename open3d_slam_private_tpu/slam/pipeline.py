@@ -164,7 +164,11 @@ class SlamPipeline:
         if self._last_scan_time is not None and time <= self._last_scan_time:
             motion = self._out_of_order_motion(external_odom_pose)
             self._map_pose = self._map_pose @ motion
-            self.map_pose_buffer.push(self._last_scan_time, self._map_pose)
+            # Do NOT overwrite the registered pose at _last_scan_time: the
+            # propagated pose reflects the newest odometry knowledge, not a
+            # registration at that stamp. The buffer keeps registration
+            # results only (≙ the reference's backup-transform path, which
+            # publishes but does not insert).
             stats = dict(
                 converged=False, inserted=False, degenerate=False,
                 overlap=0.0, out_of_order=True,
