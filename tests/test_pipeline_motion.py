@@ -8,6 +8,7 @@
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -52,6 +53,11 @@ def distorted_scan(world, pose_start, twist, m, seed, noise=0.005):
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(
+    jax.default_backend() != "cpu",
+    reason="numerics A/B (20 pipeline replays, many fresh XLA programs); "
+    "backend-independent — runs on the CPU tier",
+)
 def test_undistortion_reduces_pose_error(rng):
     """Spinning-lidar replay: with fast yaw+translation, enabling motion
     compensation must measurably reduce the final pose error.
