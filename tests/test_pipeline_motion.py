@@ -47,7 +47,9 @@ def distorted_scan(world, pose_start, twist, m, seed, noise=0.005):
         )
         pts[i] = (np.linalg.inv(T_p) @ np.r_[world[idx], 1.0])[:3]
     pts += r.normal(size=pts.shape).astype(np.float32) * noise
-    batch = pc.from_points(pts, capacity=1 << int(np.ceil(np.log2(max(len(pts), 2)))),
+    # Fixed capacity: a varying count would compile a fresh XLA program per
+    # frame (m <= 3000 < 4096 always holds).
+    batch = pc.from_points(pts, capacity=4096,
                            extras={"times": phases.astype(np.float32)[:, None]})
     return batch, pose_end
 
