@@ -372,6 +372,21 @@ def icp_config_from_dict(doc: dict, matcher_backend: str = "grid") -> icp_mod.IC
             )
         elif name == "MedianDistOutlierFilter":
             kw["median_factor"] = float(p.get("factor", 1.5))
+        elif name == "MaxDistOutlierFilter":
+            kw["max_residual_dist"] = float(p.get("maxDist", 1.0))
+        elif name == "MinDistOutlierFilter":
+            kw["min_residual_dist"] = float(p.get("minDist", 1.0))
+        elif name == "GenericDescriptorOutlierFilter":
+            # OutlierFiltersImpl.h:196-221. The reference binds
+            # filteredReference for BOTH source values
+            # (OutlierFiltersImpl.cpp:323-328), so `source` is accepted
+            # but only the reference-descriptor semantics exist.
+            kw["generic_descriptor"] = (
+                str(p.get("descName", "none")),
+                bool(int(p.get("useSoftThreshold", 0))),
+                bool(int(p.get("useLargerThan", 1))),
+                float(p.get("threshold", 0.1)),
+            )
         elif name in ("NullOutlierFilter",):
             pass
         else:

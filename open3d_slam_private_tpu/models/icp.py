@@ -82,6 +82,16 @@ class ICPConfig:
     normal_angle_max: Optional[float] = None  # SurfaceNormalOutlierFilter (rad)
     robust: Optional[str] = None  # cauchy|huber|gm|tukey|welsch|sc|l1|student
     robust_scale: float = 1.0  # tuning constant (metres); MAD if <= 0
+    # MaxDist/MinDistOutlierFilter: hard residual-distance gates (metres).
+    max_residual_dist: Optional[float] = None
+    min_residual_dist: Optional[float] = None
+    # GenericDescriptorOutlierFilter: weight pairs by a 1-D REFERENCE
+    # descriptor (an extras channel) gathered at the matched id —
+    # (descName, useSoftThreshold, useLargerThan, threshold). The reference
+    # uses filteredReference for source="reading" too
+    # (OutlierFiltersImpl.cpp:323-328 assigns &filteredReference on both
+    # branches), so only the reference source exists here.
+    generic_descriptor: Optional[tuple] = None
 
     # Minimizer (≙ errorMinimizer block; "gicp" ≙ the CloudRegistration
     # facade's GeneralizedIcp default, CloudRegistration.cpp:16-100;
@@ -288,14 +298,31 @@ def _match(
     return grid_mod.MatchResult(dists=res.dists, ids=res.ids, xyz=q, normals=mn)
 
 
-def _weights(res, reading, matched_normals_flat, cfg: ICPConfig, trim_limit=None):
+def _weights(
+    res, reading, matched_normals_flat, cfg: ICPConfig, trim_limit=None,
+    ref_desc=None,
+):
     """Composed outlier weights [N * k].
 
     ``trim_limit``: optional precomputed TrimmedDist threshold — the
     pair-cached rounds freeze it at selection time so in-round iterations
-    skip the histogram/quantile entirely."""
+    skip the histogram/quantile entirely.
+    ``ref_desc``: full reference descriptor values [Nref] for
+    GenericDescriptorOutlierFilter (gathered here by matched id)."""
     valid = res.valid()
     w = valid.astype(jnp.float32)
+    if cfg.max_residual_dist is not None:
+        w = w * outliers.max_dist_weight(res.dists, valid, cfg.max_residual_dist)
+    if cfg.min_residual_dist is not None:
+        w = w * outliers.min_dist_weight(res.dists, valid, cfg.min_residual_dist)
+    if cfg.generic_descriptor is not None:
+        if ref_desc is None:
+            raise ValueError(
+                "generic_descriptor requires the reference descriptor values"
+            )
+        _, soft, larger, thr = cfg.generic_descriptor
+        dm = ref_desc[jnp.maximum(res.ids, 0)]
+        w = w * outliers.generic_descriptor_weight(dm, valid, soft, larger, thr)
     if cfg.trimmed_ratio is not None and trim_limit is not None:
         w = w * ((res.dists <= trim_limit) & valid).astype(jnp.float32)
     elif cfg.trimmed_ratio is not None:
@@ -378,6 +405,18 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
 
     n_valid = jnp.maximum(_allsum(reading.count().astype(dtype)), 1.0)
 
+    # GenericDescriptorOutlierFilter: the 1-D reference descriptor column,
+    # resolved once per reference (matched values are gathered per pair).
+    gd_vals = None
+    if cfg.generic_descriptor is not None:
+        gd_name = cfg.generic_descriptor[0]
+        if gd_name not in ref.cloud.extras:
+            raise ValueError(
+                f"generic_descriptor: reference has no extras channel "
+                f"{gd_name!r} (have {sorted(ref.cloud.extras)})"
+            )
+        gd_vals = ref.cloud.extras[gd_name][..., 0].astype(dtype)
+
     # KDTreeVarDistMatcher: per-point search radii from a reading channel.
     var_md = None
     if cfg.max_dist_field is not None:
@@ -398,7 +437,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
         A_out = jnp.zeros((6, 6), src.dtype)
         q = res.xyz.reshape(-1, 3)
         mn = res.normals.reshape(-1, 3)
-        w = _weights(res, reading, mn, cfg, trim_limit=trim_limit)
+        w = _weights(res, reading, mn, cfg, trim_limit=trim_limit, ref_desc=gd_vals)
         if cfg.reading_step_random_prob is not None and step_it is not None:
             # Per-iteration reading-step random sampling (ICP.cpp:1038):
             # deterministic key folded with the iteration counter.
@@ -658,7 +697,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             ):
                 q0 = res0.xyz.reshape(-1, 3)
                 mn0 = res0.normals.reshape(-1, 3)
-                w0 = _weights(res0, reading, mn0, cfg, trim_limit=trim_limit)
+                w0 = _weights(res0, reading, mn0, cfg, trim_limit=trim_limit, ref_desc=gd_vals)
                 src0_flat = jnp.repeat(src0, res0.ids.shape[1], axis=0)
                 pm0 = res0.valid().reshape(-1)
                 A0, b0 = minimizers.point_to_plane_normal_equations_bc(
@@ -695,6 +734,9 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                 and cfg.normal_angle_max is None
                 and cfg.knn <= 8
                 and cfg.reading_step_random_prob is None
+                and cfg.max_residual_dist is None
+                and cfg.min_residual_dist is None
+                and cfg.generic_descriptor is None
                 and var_md is None
                 # The kernel applies trimming as a frozen threshold; without
                 # one (fast_trimming off) it would silently drop trimming.

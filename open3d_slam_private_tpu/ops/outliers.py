@@ -77,6 +77,31 @@ def min_dist_weight(dists: jax.Array, valid: jax.Array, min_dist: float) -> jax.
     return ((dists >= min_dist**2) & valid).astype(dists.dtype)
 
 
+def generic_descriptor_weight(
+    desc_matched: jax.Array,
+    valid: jax.Array,
+    use_soft_threshold: bool,
+    use_larger_than: bool,
+    threshold: float,
+) -> jax.Array:
+    """GenericDescriptorOutlierFilter (``OutlierFiltersImpl.cpp:295-377``):
+    weight pairs by a 1-D reference descriptor gathered at the matched id.
+
+    Binary mode gates on ``desc > threshold`` (or ``<`` when
+    ``use_larger_than`` is false); soft mode uses the descriptor value
+    itself, normalized by the max over valid pairs (the reference divides
+    by ``w.maxCoeff()``). Invalid matches weigh zero either way.
+    """
+    d = jnp.where(valid, desc_matched, 0.0)
+    if use_soft_threshold:
+        return d / jnp.maximum(jnp.max(d), 1e-12)
+    if use_larger_than:
+        keep = desc_matched > threshold
+    else:
+        keep = desc_matched < threshold
+    return (keep & valid).astype(desc_matched.dtype)
+
+
 def surface_normal_gate(
     reading_normals: jax.Array,
     matched_ref_normals: jax.Array,

@@ -150,3 +150,22 @@ def test_var_trimmed_and_median_yaml():
     cfg = icp_config_from_dict(doc)
     assert cfg.var_trimmed == (0.1, 0.9)
     assert cfg.median_factor == 2.0
+
+
+def test_maxmin_and_generic_descriptor_yaml():
+    doc = {
+        "matcher": {"KDTreeMatcher": {"knn": 1, "maxDist": 0.5}},
+        "outlierFilters": [
+            {"MaxDistOutlierFilter": {"maxDist": 0.4}},
+            {"MinDistOutlierFilter": {"minDist": 0.01}},
+            {"GenericDescriptorOutlierFilter": {
+                "source": "reference", "descName": "observationCount",
+                "useSoftThreshold": 1, "useLargerThan": 1, "threshold": 0.2,
+            }},
+        ],
+        "errorMinimizer": "PointToPlaneErrorMinimizer",
+    }
+    cfg = icp_config_from_dict(doc)
+    assert cfg.max_residual_dist == 0.4
+    assert cfg.min_residual_dist == 0.01
+    assert cfg.generic_descriptor == ("observationCount", True, True, 0.2)

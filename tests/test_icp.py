@@ -1,3 +1,5 @@
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -514,3 +516,63 @@ def test_anderson_acceleration_reduces_iterations(rng):
         np.asarray(aa.transform)[:3, 3], np.asarray(plain.transform)[:3, 3],
         atol=5e-3,
     )
+
+
+def test_generic_descriptor_gate_rejects_low_confidence_region(rng):
+    """GenericDescriptorOutlierFilter end-to-end: a displaced ghost copy of
+    the floor carries descriptor 0; gating on it recovers the transform the
+    ungated chain is dragged away from (OutlierFiltersImpl.cpp:295-377)."""
+    good = make_surface_cloud(rng, n=1500)
+    # A rigidly co-moving low-confidence shelf 0.2 m above the floor: its
+    # readings can only match conf-0 reference points, so the gate must
+    # zero exactly those pairs (visible in the overlap observable).
+    ghost = good[good[:, 2] < 0.1] + np.asarray([0.0, 0.0, 0.2], np.float32)
+    ref_pts = np.vstack([good, ghost])
+    conf = np.concatenate(
+        [np.ones(len(good), np.float32), np.zeros(len(ghost), np.float32)]
+    )[:, None]
+    ref = normals_mod.estimate_normals(
+        pc.from_points(ref_pts, extras={"confidence": conf}),
+        knn=10, orient_towards=(0.0, 0.0, 10.0),
+    )
+    T_true = small_transform(rot=0.02, trans=0.08)
+    reading_pts = np.asarray(
+        se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts))
+    )
+    reading = pc.from_points(reading_pts)
+    base = icp_mod.ICPConfig(
+        knn=1, max_match_dist=0.5, matcher="brute", trimmed_ratio=None,
+        minimizer="point_to_plane", max_iterations=30,
+        min_diff_rot=1e-4, min_diff_trans=1e-4,
+    )
+    gated = dataclasses.replace(
+        base, generic_descriptor=("confidence", False, True, 0.5)
+    )
+    res_gated = icp_mod.register_pair(reading, ref, jnp.eye(4), gated)
+    res_plain = icp_mod.register_pair(reading, ref, jnp.eye(4), base)
+    _, terr_g = pose_error(res_gated.transform, T_true)
+    assert terr_g < 2e-3, terr_g
+    # The gate measurably removes pairs: every reading point whose nearest
+    # neighbour is a ghost (conf-0) point weighs zero, so the weighted
+    # overlap must drop by about the ghost fraction vs the ungated chain.
+    assert float(res_gated.overlap_ratio) < float(res_plain.overlap_ratio) - 0.1
+
+
+def test_max_min_residual_dist_in_loop(rng):
+    """MaxDist/MinDist outlier gates run inside the jitted loop and still
+    recover the pose on clean data (OutlierFiltersImpl.h:70-107)."""
+    ref_pts = make_surface_cloud(rng)
+    ref = with_normals(ref_pts)
+    T_true = small_transform(rot=0.02, trans=0.08)
+    reading_pts = np.asarray(
+        se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts))
+    )
+    reading = pc.from_points(reading_pts)
+    cfg = dataclasses.replace(
+        BASE_CFG, trimmed_ratio=None, max_residual_dist=0.4,
+        min_residual_dist=1e-6,
+    )
+    res = icp_mod.register_pair(reading, ref, jnp.eye(4), cfg)
+    rot_err, trans_err = pose_error(res.transform, T_true)
+    assert trans_err < 1e-3, trans_err
+    assert rot_err < 1e-3, rot_err

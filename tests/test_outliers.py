@@ -32,6 +32,38 @@ def test_median_dist(rng):
     assert abs(w.sum() - 250) <= 5
 
 
+def test_max_min_dist_weights():
+    d = jnp.asarray([[0.01], [0.25], [1.2], [4.0]], jnp.float32)  # squared
+    valid = jnp.ones((4, 1), bool)
+    w_max = np.asarray(outliers.max_dist_weight(d, valid, 1.0))
+    np.testing.assert_array_equal(w_max[:, 0], [1, 1, 0, 0])
+    w_min = np.asarray(outliers.min_dist_weight(d, valid, 0.5))
+    np.testing.assert_array_equal(w_min[:, 0], [0, 1, 1, 1])
+    # invalid pairs always weigh zero
+    invalid = jnp.zeros((4, 1), bool)
+    assert np.asarray(outliers.max_dist_weight(d, invalid, 10.0)).sum() == 0
+
+
+def test_generic_descriptor_weight_binary_and_soft():
+    desc = jnp.asarray([0.2, 0.05, 0.8, 0.5], jnp.float32)
+    valid = jnp.asarray([True, True, True, False])
+    # binary, keep larger-than 0.1
+    w = np.asarray(
+        outliers.generic_descriptor_weight(desc, valid, False, True, 0.1)
+    )
+    np.testing.assert_array_equal(w, [1, 0, 1, 0])
+    # binary, keep smaller-than 0.1
+    w = np.asarray(
+        outliers.generic_descriptor_weight(desc, valid, False, False, 0.1)
+    )
+    np.testing.assert_array_equal(w, [0, 1, 0, 0])
+    # soft: descriptor / max over valid (OutlierFiltersImpl.cpp:357-376)
+    w = np.asarray(
+        outliers.generic_descriptor_weight(desc, valid, True, True, 0.1)
+    )
+    np.testing.assert_allclose(w, [0.25, 0.0625, 1.0, 0.0], rtol=1e-6)
+
+
 def test_surface_normal_gate():
     rn = jnp.asarray([[0, 0, 1.0], [0, 0, 1.0], [1.0, 0, 0]])
     mn = jnp.asarray([[0, 0, 1.0], [0, 1.0, 0], [-1.0, 0, 0]])
