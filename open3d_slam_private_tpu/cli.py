@@ -124,6 +124,50 @@ def _cmd_run_slam(args) -> int:
                            if pipe.map_pose_buffer.has(i * 0.1)])
         viz.render_topdown(pipe.assembled_map(), trajectory=traj, path=args.viz)
         print(f"viz written to {args.viz}")
+    if getattr(args, "save_checkpoint", None):
+        from open3d_slam_private_tpu.slam import checkpoint
+
+        checkpoint.save_pipeline(pipe, args.save_checkpoint)
+        print(f"checkpoint saved to {args.save_checkpoint}")
+    return 0
+
+
+def _cmd_merge_sessions(args) -> int:
+    """Merge two independently built SLAM sessions (run-level checkpoints)
+    into one consistent map: coarse global alignment + concurrent
+    inter-session submap registrations + joint pose-graph GN."""
+    import json
+
+    from open3d_slam_private_tpu.config import slam_config_from_yaml
+    from open3d_slam_private_tpu.slam import checkpoint
+    from open3d_slam_private_tpu.slam import multi_session as ms
+    from open3d_slam_private_tpu.slam.pipeline import SlamConfig, SlamPipeline
+
+    cfg = slam_config_from_yaml(args.config) if args.config else SlamConfig()
+    pipe_a = checkpoint.load_pipeline(SlamPipeline(cfg), args.checkpoint_a)
+    pipe_b = checkpoint.load_pipeline(SlamPipeline(cfg), args.checkpoint_b)
+
+    ms_cfg = ms.MultiSessionConfig()
+    res = ms.merge_sessions(pipe_a.submaps, pipe_b.submaps, ms_cfg)
+    if res is None:
+        print("merge failed: no global alignment / no accepted constraint",
+              file=sys.stderr)
+        return 1
+    summary = {
+        "T_ab": np.asarray(res.T_ab).tolist(),
+        "constraints": len(res.constraints),
+        "chi2_before": res.chi2_before,
+        "chi2_after": res.chi2_after,
+    }
+    print(json.dumps(summary))
+    if args.save_map:
+        from open3d_slam_private_tpu.io import save_ply
+
+        pts = np.concatenate(
+            [pipe_a.submaps.map_points(), pipe_b.submaps.map_points()]
+        )
+        save_ply(args.save_map, pts.astype(np.float32))
+        print(f"merged map saved to {args.save_map} ({len(pts)} points)")
     return 0
 
 
@@ -301,7 +345,18 @@ def main(argv=None) -> int:
     ps.add_argument("--save-map")
     ps.add_argument("--save-trajectory")
     ps.add_argument("--viz", help="write a top-down PNG render of map + trajectory")
+    ps.add_argument("--save-checkpoint", help="run-level .npz checkpoint path")
     ps.set_defaults(fn=_cmd_run_slam)
+
+    pm = sub.add_parser(
+        "merge-sessions",
+        help="merge two run checkpoints into one map (multi-session)",
+    )
+    pm.add_argument("checkpoint_a", help="session A run-level .npz")
+    pm.add_argument("checkpoint_b", help="session B run-level .npz (re-anchored into A)")
+    pm.add_argument("--config", help="SLAM parameter YAML (must match both runs)")
+    pm.add_argument("--save-map", help="write the merged map cloud here")
+    pm.set_defaults(fn=_cmd_merge_sessions)
 
     pl = sub.add_parser("list-modules", help="list supported chain modules")
     pl.set_defaults(fn=_cmd_list_modules)

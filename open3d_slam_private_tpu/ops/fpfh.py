@@ -131,19 +131,28 @@ def match_features(
     return jnp.where(bad, jnp.inf, d), jnp.where(bad, -1, ids)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("ratio",))
 def mutual_matches(
     feat_a: jax.Array,
     mask_a: jax.Array,
     feat_b: jax.Array,
     mask_b: jax.Array,
+    ratio: float | None = None,
 ):
     """Mutual-nearest-neighbour correspondences (Open3D's
     ``mutual_filter=True`` RANSAC option): a->b and b->a must agree.
-    Returns (ids ``[Na]`` into b, mask ``[Na]``)."""
-    _, ab = match_features(feat_a, mask_a, feat_b, mask_b, k=1)
+
+    ``ratio``: optional Lowe distinctiveness test — keep a match only when
+    its feature distance beats the second-best by the given ratio
+    (``d1 < ratio * d2``). Essential in planar-dominated scenes: identical
+    ground/wall features mutual-match at random and would swamp RANSAC's
+    minimal samples with outliers. Returns (ids ``[Na]`` into b, mask)."""
+    da, ab2 = match_features(feat_a, mask_a, feat_b, mask_b, k=2 if ratio else 1)
     _, ba = match_features(feat_b, mask_b, feat_a, mask_a, k=1)
-    ab = ab[:, 0]
+    ab = ab2[:, 0]
     back = ba[jnp.maximum(ab, 0), 0]
     ok = (ab >= 0) & (back == jnp.arange(feat_a.shape[0])) & mask_a
+    if ratio is not None:
+        # Squared feature distances: d1 < ratio^2 * d2.
+        ok = ok & (da[:, 0] < (ratio * ratio) * da[:, 1])
     return jnp.where(ok, ab, -1), ok

@@ -1,6 +1,7 @@
 from open3d_slam_private_tpu.slam import (
     mapper,
     motion_compensation,
+    multi_session,
     odometry,
     pipeline,
     place_recognition,
@@ -13,6 +14,7 @@ from open3d_slam_private_tpu.slam import (
 __all__ = [
     "mapper",
     "motion_compensation",
+    "multi_session",
     "odometry",
     "pipeline",
     "place_recognition",

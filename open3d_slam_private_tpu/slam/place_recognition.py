@@ -40,6 +40,10 @@ class PlaceRecognitionConfig:
     # to the yaw/translation hypothesis grid when features fail.
     use_fpfh_ransac: bool = True
     fpfh_knn: int = 16
+    # Lowe distinctiveness ratio on feature matches (None = off): required
+    # in planar-dominated scenes where ground features mutual-match at
+    # random and swamp the RANSAC samples.
+    fpfh_ratio: Optional[float] = None
     ransac_hypotheses: int = 1024
     ransac_inlier_dist: float = 0.5
     ransac_min_inliers: int = 15
@@ -144,7 +148,9 @@ def fpfh_coarse_align(
     )
     f_s = fpfh_mod.compute_fpfh(source, g_s, knn=cfg.fpfh_knn)
     f_t = fpfh_mod.compute_fpfh(target, g_t, knn=cfg.fpfh_knn)
-    ids, ok = fpfh_mod.mutual_matches(f_s, source.mask, f_t, target.mask)
+    ids, ok = fpfh_mod.mutual_matches(
+        f_s, source.mask, f_t, target.mask, ratio=cfg.fpfh_ratio
+    )
     if int(jnp.sum(ok)) < cfg.ransac_min_inliers:
         return None
     tgt_pts = target.xyz[jnp.maximum(ids, 0)]
