@@ -12,14 +12,22 @@ vs_baseline is measured against that per-chip figure.
 
 Also measured (the `extra` field): the lighter no-degeneracy chain,
 p50 single-registration latency (10 Hz budget: 100 ms), max translation
-AND rotation error vs ground truth, and the 4096-hypothesis
-relocalization burst.
+AND rotation error vs ground truth, the 4096-hypothesis relocalization
+burst, pose-graph GN, scan-to-scan odometry, and GICP scan-to-map (the
+remaining BASELINE.json workload configs).
+
+The axon relay backend has no persistent compilation cache, so all ~8
+programs compile fresh every run; compilation is the dominant wall cost.
+XLA compilation releases the GIL, so the bench warms every program
+concurrently in a thread pool before the serial timed sections.
 """
 
 import dataclasses
 import json
 import os
+import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -29,6 +37,10 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def progress(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
 def synth_scene(n_ref, seed=0):
@@ -93,6 +105,7 @@ def main():
     from open3d_slam_private_tpu.geometry import se3
     from open3d_slam_private_tpu.models import icp as icp_mod
     from open3d_slam_private_tpu.models.localizability import DegeneracyConfig
+    from open3d_slam_private_tpu.ops import grid_hash
     from open3d_slam_private_tpu.ops import normals as normals_mod
     from open3d_slam_private_tpu.ops import pointcloud as pc
     from open3d_slam_private_tpu.ops import voxel
@@ -121,17 +134,16 @@ def main():
         fast_trimming=True,
     )
     # The PRODUCTION chain: X-ICP OptimizedEqualityConstraints every
-    # iteration, exactly like the reference's param/icp.yaml.
+    # iteration, exactly like the reference's param/icp.yaml. The analysis
+    # freezes per candidate-refresh round, so the in-round iterations run
+    # the fused pair-GN kernel + frozen-direction KKT.
     xicp_cfg = dataclasses.replace(
-        light_cfg,
-        # The analysis freezes per candidate-refresh round, so the in-round
-        # iterations run the fused pair-GN kernel + frozen-direction KKT.
-        degeneracy=DegeneracyConfig(method="equality_constraints"),
+        light_cfg, degeneracy=DegeneracyConfig(method="equality_constraints")
     )
 
-    # Build the submap: dense scene voxelized to 0.15 m with normals.
-    from open3d_slam_private_tpu.ops import grid_hash
-
+    # ------------------------------------------------------------------
+    # Data setup (host + a few small device programs).
+    # ------------------------------------------------------------------
     scene = synth_scene(400_000)
     submap = pc.from_points(scene, capacity=512 * 1024)
     submap = voxel.voxel_downsample(submap, 0.15, capacity=MAP_CAP)
@@ -158,63 +170,7 @@ def main():
     )
     init_Ts = jnp.asarray(np.stack([np.asarray(T) @ np.asarray(perturb) for T in T_trues]))
 
-    from open3d_slam_private_tpu.utils.timing import relay_roundtrip
-
-    def sync(x):
-        return float(jnp.sum(x))
-
-    rt = relay_roundtrip()
-
-    # Each round registers from the previous round's result perturbed by the
-    # fixed offset: a real data dependency (the relay's block_until_ready is
-    # unreliable, so timing must chain through data).
-    def measure(cfg):
-        @jax.jit
-        def chain_round(Ts):
-            res = jax.vmap(lambda r, T: icp_mod.icp_single(r, ref, T, cfg))(readings, Ts)
-            return res.transform @ perturb, res.iterations
-
-        Ts, iters = chain_round(init_Ts)
-        sync(Ts)
-        t0 = time.perf_counter()
-        for _ in range(ROUNDS):
-            Ts, iters = chain_round(Ts)
-        sync(Ts)
-        dt = time.perf_counter() - t0 - rt
-        out = np.asarray(Ts @ jnp.linalg.inv(perturb))
-        errs_t, errs_r = [], []
-        for i in range(B):
-            delta = np.linalg.inv(out[i]) @ T_trues[i]
-            errs_t.append(np.linalg.norm(delta[:3, 3]))
-            errs_r.append(rot_angle(delta[:3, :3]))
-        return dict(
-            regs_per_s=ROUNDS * B / dt,
-            mean_iters=float(np.mean(np.asarray(iters))),
-            max_trans_err_m=float(np.max(errs_t)),
-            max_rot_err_rad=float(np.max(errs_r)),
-        )
-
-    xicp = measure(xicp_cfg)
-    light = measure(light_cfg)
-
-    # Single-problem p50 latency (the 10 Hz real-time budget), production
-    # chain, chained through data.
-    @jax.jit
-    def chain_one(T):
-        return icp_mod.icp_single(scans[0], ref, T, xicp_cfg).transform @ perturb
-
-    T1 = chain_one(init_Ts[0])
-    sync(T1)
-    lats = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        T1 = chain_one(T1)
-        sync(T1)
-        lats.append(time.perf_counter() - t0 - rt)
-    p50_ms = float(np.median(lats) * 1e3)
-
-    # 4096-hypothesis relocalization burst (BASELINE config): one 512-pt
-    # skeleton scan, 4096 vmapped initial poses against the same submap.
+    # Relocalization burst inputs: one 512-pt skeleton scan, 4096 poses.
     H, NH = 4096, 512
     hyp_cfg = dataclasses.replace(
         light_cfg, coarse_iterations=0, candidate_refresh_every=0, max_iterations=12
@@ -225,24 +181,9 @@ def main():
     )
     rngh = np.random.default_rng(5)
     twists = np.c_[rngh.uniform(-0.1, 0.1, (H, 3)), rngh.uniform(-2, 2, (H, 3))].astype(np.float32)
-    seeds = np.asarray(jax.vmap(se3.exp_se3)(jnp.asarray(twists)))
+    seeds = jnp.asarray(np.asarray(jax.vmap(se3.exp_se3)(jnp.asarray(twists))))
 
-    @jax.jit
-    def hyp_round(Ts):
-        res = jax.vmap(lambda T: icp_mod.icp_single(skel, ref, T, hyp_cfg))(Ts)
-        return res.transform, res.residual
-
-    Ts_h, _ = hyp_round(jnp.asarray(seeds))
-    sync(Ts_h)
-    t0 = time.perf_counter()
-    Ts_h, resid_h = hyp_round(Ts_h)
-    sync(Ts_h)
-    hyp_dt = time.perf_counter() - t0 - rt
-    hyps_per_s = H / hyp_dt
-
-    # Pose-graph optimization (the BASELINE "multi-session / loop-closure
-    # pose-graph GN" workload): 256-node loop trajectory, odometry edges +
-    # 32 loop closures, DCS robust kernel, 15 GN/LM iterations on device.
+    # Pose-graph inputs: 256-node loop, odometry edges + 32 loop closures.
     from open3d_slam_private_tpu.slam import pose_graph as pg
 
     KN = 256
@@ -271,20 +212,220 @@ def main():
         se3.exp_se3(jnp.asarray([0.002, -0.001, 0.003, 0.01, -0.02, 0.01], jnp.float32))
     )
 
+    # Scan-to-scan odometry (BASELINE "64-beam odometry, 20 GN iters"
+    # config) measured as the PRODUCTION `slam/odometry.py` step: per scan,
+    # preprocess the raw 32k cloud (crop -> voxel 0.3 -> normals -> 16k
+    # cap) + build the reference grid on the previous processed scan + ICP.
+    # The previous scan's preprocessing is amortized (it ran when that scan
+    # was current), so it is done in setup; everything else is timed.
+    from open3d_slam_private_tpu.slam import odometry as odo_mod
+
+    N_ODO = 32768
+    odo_slam_cfg = odo_mod.OdometryConfig()
+    odo_cfg = odo_slam_cfg.icp
+    odo_key = jax.random.key(0)
+    odo_prev, odo_curr = [], []
+    for i in range(B):
+        prev_raw = pc.from_points(
+            sample_scan(scene, N_ODO, np.eye(4), seed=200 + i), capacity=N_ODO
+        )
+        odo_prev.append(odo_mod.preprocess(prev_raw, odo_key, odo_slam_cfg))
+        step_tw = np.array([0.004, -0.003, 0.02, 0.35, 0.05, 0.01], np.float32)
+        T_step = se3.exp_se3(jnp.asarray(step_tw))
+        odo_curr.append(pc.from_points(
+            sample_scan(scene, N_ODO, se3.transform_inverse(T_step), seed=300 + i),
+            capacity=N_ODO,
+        ))
+    odo_refs = pc.stack(odo_prev)
+    odo_reads = pc.stack(odo_curr)
+
+    # Scan-to-map GICP vs the voxelized submap with odometry prior
+    # (BASELINE workload; the CloudRegistration facade's default). GICP is
+    # plane-to-plane: the readings need normals too (the SLAM preprocessing
+    # estimates scan normals before GICP — slam/odometry.py does the same).
+    gicp_cfg = dataclasses.replace(light_cfg, minimizer="gicp", fused_kernel=False)
+    gicp_ref = icp_mod.build_reference(submap, gicp_cfg)
+    gicp_scans = []
+    for s in scans:
+        gg = grid_hash.build_grid(s.padded_xyz(), s.mask, 0.5, 1 << 16, 32)
+        gicp_scans.append(
+            normals_mod.estimate_normals_grid(s, gg, knn=8, max_dist=0.5)
+        )
+    gicp_reads = pc.stack(gicp_scans)
+
+    from open3d_slam_private_tpu.utils.timing import relay_roundtrip
+
+    def sync(x):
+        return float(jnp.sum(x))
+
+    rt = relay_roundtrip()
+
+    # ------------------------------------------------------------------
+    # The jitted programs (one per section).
+    # ------------------------------------------------------------------
+    # All big arrays are passed as jit ARGUMENTS, never closed over:
+    # closed-over device arrays get embedded as literal constants in the
+    # lowered module (the light chain becomes a 415M-char module vs 0.43M
+    # with args) and the relay's remote compile chokes on them.
+    def make_chain_round(cfg):
+        @jax.jit
+        def chain_round(reads, reference, Ts):
+            res = jax.vmap(lambda r, T: icp_mod.icp_single(r, reference, T, cfg))(reads, Ts)
+            return res.transform @ perturb, res.iterations
+
+        return chain_round
+
+    chain_xicp = make_chain_round(xicp_cfg)
+    chain_light = make_chain_round(light_cfg)
+
     @jax.jit
-    def pg_round(poses):
-        g = dataclasses.replace(graph, poses=poses @ pose_jitter)
+    def chain_one(scan0, reference, T):
+        return icp_mod.icp_single(scan0, reference, T, xicp_cfg).transform @ perturb
+
+    @jax.jit
+    def hyp_round(sk, reference, Ts):
+        res = jax.vmap(lambda T: icp_mod.icp_single(sk, reference, T, hyp_cfg))(Ts)
+        return res.transform, res.residual
+
+    @jax.jit
+    def pg_round(g, poses):
+        g = dataclasses.replace(g, poses=poses @ pose_jitter)
         return pg.optimize(g, pg_cfg).poses
 
-    p_out = pg_round(graph.poses)
+    @jax.jit
+    def odo_round(reads, refs, Ts):
+        def one(raw_reading, reference, T):
+            reading = odo_mod.preprocess(raw_reading, odo_key, odo_slam_cfg)
+            r = icp_mod.build_reference(reference, odo_cfg)
+            return icp_mod.icp_single(reading, r, T, odo_cfg).transform
+
+        # Re-seed from the previous result (data dependency for honest
+        # relay timing) perturbed by the fixed prior-error offset.
+        return jax.vmap(one)(reads, refs, Ts @ perturb)
+
+    @jax.jit
+    def gicp_round(reads, reference, Ts):
+        res = jax.vmap(lambda r, T: icp_mod.icp_single(r, reference, T, gicp_cfg))(
+            reads, Ts
+        )
+        return res.transform @ perturb
+
+    # ------------------------------------------------------------------
+    # Concurrent warmup: first call of each program compiles it (XLA
+    # compilation releases the GIL, so distinct programs compile in
+    # parallel across host cores); device execution serializes harmlessly.
+    # ------------------------------------------------------------------
+    eye_B = jnp.tile(jnp.eye(4), (B, 1, 1))
+    warmups = {
+        "xicp": lambda: sync(chain_xicp(readings, ref, init_Ts)[0]),
+        "light": lambda: sync(chain_light(readings, ref, init_Ts)[0]),
+        "latency": lambda: sync(chain_one(scans[0], ref, init_Ts[0])),
+        "reloc": lambda: sync(hyp_round(skel, ref, seeds)[0]),
+        "posegraph": lambda: sync(pg_round(graph, graph.poses)),
+        "odometry": lambda: sync(odo_round(odo_reads, odo_refs, eye_B)),
+        "gicp": lambda: sync(gicp_round(gicp_reads, gicp_ref, init_Ts)),
+    }
+    progress(f"setup done; warming {len(warmups)} programs concurrently")
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futs = {name: ex.submit(fn) for name, fn in warmups.items()}
+        for name, f in futs.items():
+            f.result()
+            progress(f"warm: {name}")
+    progress("all programs compiled; timing sections")
+
+    # ------------------------------------------------------------------
+    # Timed sections (serial, chained through data: the relay acks
+    # block_until_ready early, so timing must flow through readbacks).
+    # ------------------------------------------------------------------
+    def measure(chain_round):
+        Ts, _ = chain_round(readings, ref, init_Ts)
+        sync(Ts)
+        t0 = time.perf_counter()
+        for _ in range(ROUNDS):
+            Ts, iters = chain_round(readings, ref, Ts)
+        sync(Ts)
+        dt = time.perf_counter() - t0 - rt
+        out = np.asarray(Ts @ jnp.linalg.inv(perturb))
+        errs_t, errs_r = [], []
+        for i in range(B):
+            delta = np.linalg.inv(out[i]) @ T_trues[i]
+            errs_t.append(np.linalg.norm(delta[:3, 3]))
+            errs_r.append(rot_angle(delta[:3, :3]))
+        return dict(
+            regs_per_s=ROUNDS * B / dt,
+            mean_iters=float(np.mean(np.asarray(iters))),
+            max_trans_err_m=float(np.max(errs_t)),
+            max_rot_err_rad=float(np.max(errs_r)),
+        )
+
+    xicp = measure(chain_xicp)
+    progress("timed: xicp")
+    light = measure(chain_light)
+    progress("timed: light")
+
+    # Single-problem p50 latency (the 10 Hz real-time budget), production
+    # chain. Each call is data-dependent on the previous, so timing a
+    # chained run of 10 and dividing measures true sequential latency;
+    # only the single host<->device sync (the relay roundtrip) is
+    # amortized. Subtracting rt from ONE call would over-correct
+    # (negative latencies at ~40 ms wall).
+    T1 = chain_one(scans[0], ref, init_Ts[0])
+    sync(T1)
+    lats = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            T1 = chain_one(scans[0], ref, T1)
+        sync(T1)
+        lats.append((time.perf_counter() - t0 - rt) / 10)
+    p50_ms = float(np.median(lats) * 1e3)
+    progress("timed: latency")
+
+    # 4096-hypothesis relocalization burst.
+    Ts_h, _ = hyp_round(skel, ref, seeds)
+    sync(Ts_h)
+    t0 = time.perf_counter()
+    Ts_h, resid_h = hyp_round(skel, ref, Ts_h)
+    sync(Ts_h)
+    hyp_dt = time.perf_counter() - t0 - rt
+    hyps_per_s = H / hyp_dt
+    progress("timed: reloc")
+
+    # Pose-graph GN: 256 nodes, 287+32 edges, DCS, 15 iterations.
+    p_out = pg_round(graph, graph.poses)
     sync(p_out)
     PG_ROUNDS = 5
     t0 = time.perf_counter()
     for _ in range(PG_ROUNDS):
-        p_out = pg_round(p_out)
+        p_out = pg_round(graph, p_out)
     sync(p_out)
     pg_dt = time.perf_counter() - t0 - rt
     pg_per_s = PG_ROUNDS / pg_dt
+    progress("timed: posegraph")
+
+    # Scan-to-scan odometry (fresh reference grid build per registration).
+    Ts_o = odo_round(odo_reads, odo_refs, eye_B)
+    sync(Ts_o)
+    t0 = time.perf_counter()
+    ODO_ROUNDS = 4
+    for _ in range(ODO_ROUNDS):
+        Ts_o = odo_round(odo_reads, odo_refs, Ts_o)
+    sync(Ts_o)
+    odo_dt = time.perf_counter() - t0 - rt
+    odo_per_s = ODO_ROUNDS * B / odo_dt
+    progress("timed: odometry")
+
+    # GICP scan-to-map.
+    Ts_g = gicp_round(gicp_reads, gicp_ref, init_Ts)
+    sync(Ts_g)
+    t0 = time.perf_counter()
+    GICP_ROUNDS = 4
+    for _ in range(GICP_ROUNDS):
+        Ts_g = gicp_round(gicp_reads, gicp_ref, Ts_g)
+    sync(Ts_g)
+    gicp_dt = time.perf_counter() - t0 - rt
+    gicp_per_s = GICP_ROUNDS * B / gicp_dt
+    progress("timed: gicp; emitting JSON")
 
     baseline_per_chip = 250.0  # 2000/s on 8 chips
     print(
@@ -311,6 +452,8 @@ def main():
                     "workload": "noise 1.5cm, 240deg wedge, 3% clutter, 0.1m/1.2deg prior error",
                     "relocalization_hypotheses_per_s": round(hyps_per_s, 0),
                     "pose_graph_256n_288e_15it_per_s": round(pg_per_s, 2),
+                    "odometry_scan_to_scan_32k_per_s": round(odo_per_s, 2),
+                    "gicp_scan_to_map_64k_per_s": round(gicp_per_s, 2),
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -172,12 +172,15 @@ def coverage_scores(
     )
     xb, mb = skel_b.padded_xyz(), skel_b.mask
 
+    # Grids/clouds are jit ARGUMENTS: closed-over device arrays get
+    # embedded as literal HLO constants, which the axon remote compile
+    # handles pathologically slowly (minutes per MB).
     @jax.jit
-    def run(T_chunk):
+    def run(gt, gc, xb, mb, T_chunk):
         def one(T):
             x = xb @ T[:3, :3].T + T[:3, 3]
-            mt = grid_hash.grid_match(g_t, x, mb, k=1, max_dist=tight)
-            mc = grid_hash.grid_match(g_c, x, mb, k=1, max_dist=r_cov)
+            mt = grid_hash.grid_match(gt, x, mb, k=1, max_dist=tight)
+            mc = grid_hash.grid_match(gc, x, mb, k=1, max_dist=r_cov)
             matched = mt.valid()[:, 0] & mb
             cov = (mc.valid()[:, 0] & mb) | matched
             return matched.sum(), cov.sum()
@@ -189,7 +192,7 @@ def coverage_scores(
     Ts_p = np.concatenate([Ts, np.tile(np.eye(4), (pad, 1, 1))]).astype(np.float32)
     m_all, c_all = [], []
     for lo in range(0, H + pad, chunk):
-        m, c = run(jnp.asarray(Ts_p[lo:lo + chunk]))
+        m, c = run(g_t, g_c, xb, mb, jnp.asarray(Ts_p[lo:lo + chunk]))
         m_all.append(np.asarray(m))
         c_all.append(np.asarray(c))
     m = np.concatenate(m_all)[:H].astype(np.float64)
@@ -274,16 +277,16 @@ def coarse_align_sessions(
     a_tiny = _stride_subsample(skel_a, 1024)
 
     @jax.jit
-    def raw_scores(T_all):
-        xb = b_tiny.padded_xyz()
+    def raw_scores(bt, at, T_all):
+        xb = bt.padded_xyz()
 
         def one(T):
             x = xb @ T[:3, :3].T + T[:3, 3]
             d = jnp.linalg.norm(
-                x[:, None, :] - a_tiny.padded_xyz()[None, :, :], axis=-1
+                x[:, None, :] - at.padded_xyz()[None, :, :], axis=-1
             )
-            d = jnp.where(a_tiny.mask[None, :], d, jnp.inf).min(axis=1)
-            d = jnp.where(b_tiny.mask, d, jnp.inf)
+            d = jnp.where(at.mask[None, :], d, jnp.inf).min(axis=1)
+            d = jnp.where(bt.mask, d, jnp.inf)
             near = (d < cfg.coarse_match_dist).sum()
             cov = (d < 2.5 * cfg.coverage_dist).sum()
             return near / jnp.maximum(cov, 1)
@@ -296,7 +299,7 @@ def coarse_align_sessions(
         [Ts_seed, np.tile(np.eye(4), (rpad, 1, 1))]
     ).astype(np.float32)
     rs = np.concatenate([
-        np.asarray(raw_scores(jnp.asarray(Ts_r[lo:lo + RCH])))
+        np.asarray(raw_scores(b_tiny, a_tiny, jnp.asarray(Ts_r[lo:lo + RCH])))
         for lo in range(0, len(Ts_r), RCH)
     ])[: len(Ts_seed)]
     rs[:n_fpfh] = np.inf  # the FPFH seed always survives the prune

@@ -168,7 +168,11 @@ def optimize(
         damp = cfg.damping * (jnp.diagonal(Hd) + 1.0)
         Hd = Hd.at[diag_idx, diag_idx].add(gauge + inactive + damp)
 
-        dx = -jnp.linalg.solve(Hd, gd).reshape(K, 6)
+        # Hd is SPD (gauge + inactive pinning + LM damping on the diagonal),
+        # so Cholesky + triangular solves beat LU-with-pivoting on TPU.
+        L = jnp.linalg.cholesky(Hd)
+        y = jax.scipy.linalg.solve_triangular(L, gd, lower=True)
+        dx = -jax.scipy.linalg.solve_triangular(L, y, lower=True, trans=1).reshape(K, 6)
         new_poses = poses @ se3.exp_se3(dx)
         return new_poses, jnp.sum((w * jnp.einsum("ei,eij,ej->e", r, graph.edge_info, r)))
 

@@ -86,6 +86,7 @@ def sessions():
     return world, a, b, T_ab_true
 
 
+@pytest.mark.slow
 def test_find_constraints_and_merge_with_known_coarse(sessions):
     # merge_sessions re-anchors the collections IN PLACE; deepcopy so the
     # module-scoped fixture stays pristine for the other tests.
@@ -137,6 +138,7 @@ def test_coarse_align_sessions_recovers_offset(sessions):
     assert rerr < 0.05, rerr
 
 
+@pytest.mark.slow
 def test_find_constraints_mesh_sharded_matches_local(sessions):
     """The pod-scale mode: pair refinement sharded over a "batch" mesh axis
     must accept the same constraints as the local vmapped path."""
