@@ -47,7 +47,13 @@ class ICPConfig:
     # Matcher (≙ param/icp.yaml matcher block: knn, maxDist, epsilon).
     knn: int = 1
     max_match_dist: float = jnp.inf
-    # "grid": cell-list spatial hash (production scan-to-map);
+    # "grid": cell-list spatial hash — expensive 27x-expanded build, one
+    #   row-gather per query (production scan-to-map: build once per submap,
+    #   query millions of times);
+    # "hash": per-cell bucket hash — cheap build (one argsort + one scatter
+    #   over M rows), 8 row-gathers per query (scan-to-scan odometry: the
+    #   reference is rebuilt EVERY scan and queried only ~refresh-count
+    #   times, so build cost dominates);
     # "brute": XLA O(N*M) KNN; "brute_pallas": streaming MXU 1-NN Pallas
     # kernel (dense small-query workloads, e.g. skeleton-scan sweeps).
     matcher: str = "grid"
@@ -197,7 +203,7 @@ class ICPReference:
 
     cloud: PointBatch  # centered at centroid
     centroid: jax.Array  # [3]
-    grid: Optional[cell_mod.CellList]
+    grid: object  # CellList ("grid"), GridHash ("hash"), or None
 
 
 def build_reference(
@@ -216,14 +222,16 @@ def build_reference(
         xyz=jnp.where(reference.mask[..., None], reference.xyz - c, reference.xyz),
     )
     grid = None
-    if cfg.matcher == "grid":
+    if cfg.matcher in ("grid", "hash"):
         import math
 
         if not math.isfinite(cfg.max_match_dist):
             raise ValueError(
-                "grid matcher requires a finite max_match_dist (cell size is "
-                "2 * max_match_dist); use matcher='brute' for unbounded search"
+                f"{cfg.matcher} matcher requires a finite max_match_dist "
+                "(cell size is 2 * max_match_dist); use matcher='brute' for "
+                "unbounded search"
             )
+    if cfg.matcher == "grid":
         slack = cfg.candidate_slack if cfg.candidate_refresh_every > 0 else 0.0
         build = (
             cell_mod.build_cell_list_packed
@@ -237,6 +245,18 @@ def build_reference(
             table_size=cfg.grid_table_size,
             list_cap=cfg.grid_bucket_cap,
             normals=centered.normals,  # inlined payload: match => no gathers
+        )
+    elif cfg.matcher == "hash":
+        if cfg.packed_payload:
+            raise ValueError("packed_payload is cell-list only (matcher='grid')")
+        slack = cfg.candidate_slack if cfg.candidate_refresh_every > 0 else 0.0
+        grid = grid_mod.build_grid(
+            centered.padded_xyz(),
+            centered.mask,
+            2.0 * (cfg.max_match_dist + slack),
+            table_size=cfg.grid_table_size,
+            bucket_cap=cfg.grid_bucket_cap,
+            normals=centered.normals,
         )
     return ICPReference(cloud=centered, centroid=c, grid=grid)
 
@@ -257,6 +277,10 @@ def _match(
                 ref.grid, src_xyz, src_mask, k=cfg.knn, max_dist=max_dist
             )
         return cell_mod.cell_match(
+            ref.grid, src_xyz, src_mask, k=cfg.knn, max_dist=max_dist
+        )
+    if cfg.matcher == "hash":
+        return grid_mod.grid_match(
             ref.grid, src_xyz, src_mask, k=cfg.knn, max_dist=max_dist
         )
     if cfg.matcher == "brute_pallas":
@@ -627,7 +651,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             **aa_state,
         )
 
-    if cfg.candidate_refresh_every > 0 and cfg.matcher == "grid":
+    if cfg.candidate_refresh_every > 0 and cfg.matcher in ("grid", "hash"):
         # Candidate-cached mode: gather the 2x2x2 payload superset once per
         # round, then run ``candidate_refresh_every`` pure-VPU GN iterations
         # against the cache. Exact while the pose moves less than the grid's
@@ -656,7 +680,14 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                     cfg.max_match_dist, cfg.knn,
                 )
             else:
-                rows, valid = cell_mod.gather_cell_candidates(ref.grid, src0, reading.mask)
+                if cfg.matcher == "hash":
+                    rows, valid = grid_mod.gather_candidates(
+                        ref.grid, src0, reading.mask
+                    )
+                else:
+                    rows, valid = cell_mod.gather_cell_candidates(
+                        ref.grid, src0, reading.mask
+                    )
                 res0 = grid_mod.match_from_candidates(
                     rows, valid, src0, reading.mask,
                     var_md if var_md is not None else cfg.max_match_dist,

@@ -37,13 +37,17 @@ class OdometryConfig:
     max_points: int = 16384
     normals_knn: int = 8
     normals_radius: float = 1.0
+    # The "hash" matcher (cheap per-cell bucket build: one argsort + one
+    # scatter) instead of the cell list: odometry rebuilds the reference
+    # EVERY scan and queries it only ~4 times (candidate caching), so build
+    # cost dominates — measured 74 -> 13 ms/scan on v5e at 32k raw points.
     icp: icp_mod.ICPConfig = dataclasses.field(
         default_factory=lambda: icp_mod.ICPConfig(
             knn=1,
             max_match_dist=1.0,
-            matcher="grid",
-            grid_table_size=1 << 14,
-            grid_bucket_cap=96,
+            matcher="hash",
+            grid_table_size=1 << 13,
+            grid_bucket_cap=48,
             trimmed_ratio=0.8,
             minimizer="point_to_plane",
             max_iterations=20,

@@ -87,6 +87,27 @@ def test_grid_matcher_matches_brute(rng):
     )
 
 
+@pytest.mark.slow
+def test_hash_matcher_matches_brute(rng):
+    """The cheap-build per-cell bucket matcher (scan-to-scan odometry's
+    default) must agree with brute force, both re-matched every iteration
+    and in candidate-cached mode."""
+    ref_pts = make_surface_cloud(rng)
+    ref = with_normals(ref_pts)
+    T_true = small_transform()
+    reading_pts = np.asarray(se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts)))
+    reading = pc.from_points(reading_pts)
+    res_b = icp_mod.register_pair(reading, ref, jnp.eye(4), BASE_CFG)
+    for extra in ({}, {"candidate_refresh_every": 5, "fast_trimming": True}):
+        cfg_h = icp_mod.ICPConfig(**{**BASE_CFG.__dict__, "matcher": "hash",
+                                     "grid_table_size": 1 << 13,
+                                     "grid_bucket_cap": 48, **extra})
+        res_h = icp_mod.register_pair(reading, ref, jnp.eye(4), cfg_h)
+        np.testing.assert_allclose(
+            np.asarray(res_h.transform), np.asarray(res_b.transform), atol=2e-3
+        )
+
+
 def test_point_to_point_recovers_transform(rng):
     ref_pts = make_surface_cloud(rng)
     ref = pc.from_points(ref_pts)
