@@ -160,6 +160,16 @@ class ICPConfig:
     # other configs silently use the XLA path.
     fused_kernel: bool = False
 
+    # Moment-cached GN rounds (GICP): with pairs, weights and the per-pair
+    # GICP precisions M frozen per refresh round, A(T) and b(T) are exact
+    # contractions of round-start second-order moment tensors with (R, t) —
+    # the in-round iteration costs O(1) instead of O(pairs). One extra
+    # streaming pass per round (the moment build) buys ~free iterations.
+    # Falls back to the direct path for residual-dependent weights
+    # (robust / var-trimmed / median) whose per-iteration re-evaluation
+    # cannot be frozen.
+    moment_cached: bool = True
+
     # Multi-device: when set, the reading's point axis is sharded over this
     # mesh axis (inside shard_map); partial 6x6 blocks are psum-reduced and
     # trimming quantiles computed on all-gathered distances. The TP/SP
@@ -658,7 +668,24 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
         # slack margin per round (cell = 2 * (radius + slack)); fixed-length
         # scans keep it vmap-friendly (no data-dependent gathers).
         R = cfg.candidate_refresh_every
-        rounds = -(-max_iterations // R)
+        # Static eligibility for the moment-cached GICP rounds (the trim
+        # limit exists iff fast_trimming, which is static). Kept in sync
+        # with the per-round ``moment_ok`` below.
+        moment_eligible = (
+            cfg.moment_cached
+            and cfg.minimizer == "gicp"
+            and reading.normals is not None
+            and cfg.shard_axis is None
+            and cfg.robust is None
+            and cfg.var_trimmed is None
+            and cfg.median_factor is None
+            and cfg.reading_step_random_prob is None
+            and (cfg.trimmed_ratio is None or cfg.fast_trimming)
+        )
+        # Moment rounds re-freeze weights at each refresh: convergence on
+        # stale weights forces one more (>=1 iteration) round, so the round
+        # count must not bind before the iteration budget does.
+        rounds = max_iterations if moment_eligible else -(-max_iterations // R)
 
         def masked(s, step_out):
             new = advance(s, step_out)
@@ -807,6 +834,41 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                     resid = jnp.sqrt(swr2 / jnp.maximum(sw, 1e-9))
                     return dT, loc, nok / denom, sw / denom, resid, A
 
+            # Moment-cached GICP rounds: freeze pairs, weights and the
+            # per-pair precisions M at round start, then every in-round
+            # iteration reconstructs the exact GN system from second-order
+            # moment tensors — O(1) per iteration (see
+            # ``minimizers.gicp_moments``). Residual-dependent weight
+            # families (robust / var-trimmed / median) re-evaluate per
+            # iteration by design and fall through to the direct path.
+            moment_ok = moment_eligible and (
+                cfg.trimmed_ratio is None or trim_limit is not None
+            )
+            if moment_ok:
+                k_pairs = res0.ids.shape[1]
+                q0 = res0.xyz.reshape(-1, 3)
+                mn0 = res0.normals.reshape(-1, 3)
+                w0 = _weights(
+                    res0, reading, mn0, cfg, trim_limit=trim_limit,
+                    ref_desc=gd_vals,
+                )
+                src_n0 = se3.apply_rotation(s["T"], reading.normals)
+                mom = minimizers.gicp_moments(
+                    jnp.repeat(reading.xyz, k_pairs, axis=0),
+                    jnp.repeat(src_n0, k_pairs, axis=0),
+                    q0, mn0, w0, epsilon=cfg.gicp_epsilon,
+                )
+                denom_m = n_valid * cfg.knn
+                frozen_mr = jnp.sum(pair_ok.astype(dtype)) / denom_m
+                frozen_ov = jnp.sum((w0 > 0).astype(dtype)) / denom_m
+
+                def moment_step(T):
+                    A, b, resid = minimizers.gicp_system_from_moments(T, mom)
+                    x = minimizers.solve_normal_equations_fast(A, b)
+                    dT = minimizers.delta_transform_from_x(x)
+                    loc = xicp._identity_result(dtype)
+                    return dT, loc, frozen_mr, frozen_ov, resid, A
+
             def inner_cond(st):
                 si, i = st
                 return (i < R) & ~si["done"] & (si["it"] < max_iterations)
@@ -815,6 +877,8 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                 si, i = st
                 if fused_ok:
                     return masked(si, fused_step(si["T"])), i + 1
+                if moment_ok:
+                    return masked(si, moment_step(si["T"])), i + 1
                 src = se3.apply_transform(si["T"], reading.xyz)
                 d2 = jnp.sum((src[:, None, :] - res0.xyz) ** 2, axis=-1)
                 invalid = ~pair_ok | (d2 > max_d2)
@@ -839,9 +903,28 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             # while_loop (not a fixed scan): converged problems stop paying
             # for the remaining round iterations. Under vmap the trip count
             # is the max over the batch; ``masked`` keeps lanes correct.
+            T_round0 = s["T"]
             s, _ = jax.lax.while_loop(
                 inner_cond, inner_body, (s, jnp.asarray(0, jnp.int32))
             )
+            if moment_ok:
+                # Weights/M were frozen at the round-start pose. A round
+                # that converged after moving beyond the differential
+                # tolerance did so on stale weights: clear `done` so the
+                # next round re-matches, re-freezes, and re-verifies
+                # convergence at the improved pose (it then converges in
+                # one fresh-weight iteration when truly done).
+                dr_rnd = se3.rotation_angular_distance(
+                    s["T"][:3, :3], T_round0[:3, :3]
+                )
+                dt_rnd = jnp.linalg.norm(s["T"][:3, 3] - T_round0[:3, 3])
+                stale = (dr_rnd > cfg.min_diff_rot) | (dt_rnd > cfg.min_diff_trans)
+                revisit = stale & s["converged"] & (s["it"] < max_iterations)
+                s = dict(
+                    s,
+                    done=s["done"] & ~revisit,
+                    converged=s["converged"] & ~revisit,
+                )
             return s
 
         def rounds_cond(st):

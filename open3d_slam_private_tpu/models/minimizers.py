@@ -165,6 +165,114 @@ def gicp_normal_equations(
     return A, b
 
 
+# Generators of the skew map: [p]_x = sum_d p_d * _GEN[d]. Used to turn
+# per-pair cross-product sums into contractions of precomputed moments.
+_GEN = jnp.asarray(
+    [
+        [[0.0, 0.0, 0.0], [0.0, 0.0, -1.0], [0.0, 1.0, 0.0]],
+        [[0.0, 0.0, 1.0], [0.0, 0.0, 0.0], [-1.0, 0.0, 0.0]],
+        [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+    ]
+)
+
+
+def gicp_moments(p0, src_normals0, q, ref_normals, weights, epsilon: float = 1e-3):
+    """Round-frozen sufficient statistics for the GICP GN system.
+
+    The in-round GN iteration needs ``A(T), b(T)`` for the *fixed* pair set
+    selected at refresh time. With per-pair ``M_i`` (the GICP precision,
+    frozen at the round-start rotation) and weights ``w_i`` frozen for the
+    round, every entry of ``A`` and ``b`` is at most quadratic in
+    ``p_i = R p0_i + t`` — so the whole per-pair reduction collapses to a
+    fixed set of second-order moment tensors contracted with ``(R, t)``
+    (:func:`gicp_system_from_moments`). One streaming pass here (~the cost
+    of one direct iteration) makes every subsequent in-round iteration
+    O(1). Matches the pair-cached contract of ``models/icp.py``: staleness
+    is bounded by the candidate-cache slack margin. ≙ the role of the
+    per-iteration error minimizer in ``ICP.cpp:1079-1172`` with Segal-style
+    frozen match covariances.
+
+    Args: ``p0 [P, 3]`` reading points in the READING frame (fixed),
+    ``src_normals0 [P, 3]`` reading normals rotated by the round-start
+    pose, ``q / ref_normals [P, 3]`` matched reference points/normals
+    (reference-centered frame), ``weights [P]`` frozen round weights.
+    """
+    eye = jnp.eye(3, dtype=p0.dtype)
+    k = 1.0 - epsilon
+    S = 2.0 * eye - k * (
+        jnp.einsum("pi,pj->pij", ref_normals, ref_normals)
+        + jnp.einsum("pi,pj->pij", src_normals0, src_normals0)
+    )
+    M = _inv3x3(S) * weights[:, None, None]  # w-absorbed precision
+    Mq = jnp.einsum("pij,pj->pi", M, q)
+    return dict(
+        S0=jnp.sum(M, axis=0),  # [3,3]   sum w M
+        S1=jnp.einsum("pd,pab->dab", p0, M),  # [3,3,3]   sum w p0_d M
+        S2=jnp.einsum("pd,pe,pab->deab", p0, p0, M),  # [3,3,3,3]
+        Y0=jnp.sum(Mq, axis=0),  # [3]     sum w M q
+        Y1=jnp.einsum("pd,pa->da", p0, Mq),  # [3,3]   sum w p0_d (M q)
+        # Plain (un-whitened) moments for the RMS residual readout.
+        n0=jnp.sum(weights),
+        n1=jnp.einsum("p,pa->a", weights, p0),
+        nq=jnp.einsum("p,pa->a", weights, q),
+        npp=jnp.sum(weights * jnp.sum(p0 * p0, -1)),
+        nqq=jnp.sum(weights * jnp.sum(q * q, -1)),
+        C=jnp.einsum("p,pa,pb->ab", weights, q, p0),  # sum w q p0^T
+    )
+
+
+def gicp_system_from_moments(T, mom):
+    """Exact GICP normal equations ``(A, b, resid)`` at pose ``T`` from
+    round-frozen moments — O(1) per iteration, no per-pair work.
+
+    Algebra mirrors :func:`gicp_normal_equations` exactly (same sign
+    conventions), with ``p = R p0 + t`` expanded through the moments:
+    ``A_oo = -sum w [p]x M [p]x``, ``A_ot = sum w [p]x M``,
+    ``A_tt = sum w M``, ``b_o = -sum w [p]x M r``, ``b_t = -sum w M r``.
+    ``resid`` is the weighted RMS of ``|p - q|`` (the same readout the
+    direct path reports)."""
+    R, t = T[:3, :3], T[:3, 3]
+    G = _GEN.astype(R.dtype)
+    S0, S1, S2, Y0, Y1 = mom["S0"], mom["S1"], mom["S2"], mom["Y0"], mom["Y1"]
+    # First/second moments of the CURRENT p: W1[d] = sum w p_d M,
+    # W2[d,e] = sum w p_d p_e M.
+    RS1 = jnp.einsum("de,eab->dab", R, S1)
+    W1 = RS1 + t[:, None, None] * S0
+    RRS2 = jnp.einsum("df,eg,fgab->deab", R, R, S2)
+    W2 = (
+        RRS2
+        + t[:, None, None, None] * RS1[None, :, :, :]
+        + t[None, :, None, None] * RS1[:, None, :, :]
+        + (t[:, None] * t[None, :])[:, :, None, None] * S0
+    )
+    Z1 = jnp.einsum("de,ea->da", R, Y1) + t[:, None] * Y0  # sum w p_d (M q)
+
+    A_ot = jnp.einsum("dij,djk->ik", G, W1)  # sum w [p]x M
+    A_oo = -jnp.einsum("dij,dejk,ekl->il", G, W2, G)
+    A_tt = S0
+    A = jnp.zeros((6, 6), R.dtype)
+    A = A.at[:3, :3].set(A_oo)
+    A = A.at[:3, 3:].set(A_ot)
+    A = A.at[3:, :3].set(A_ot.T)
+    A = A.at[3:, 3:].set(A_tt)
+
+    u = jnp.einsum("bab->a", W1)  # sum w M p
+    v2 = jnp.einsum("dbab->da", W2)  # v2[d] = sum w p_d (M p)
+    b_o = -jnp.einsum("dij,dj->i", G, v2 - Z1)
+    b_t = -(u - Y0)
+    b = jnp.concatenate([b_o, b_t])
+
+    # Weighted RMS |p - q|: |p|^2 = |p0|^2 + 2 t.(R p0) + |t|^2 and
+    # p.q = q^T R p0 + t.q, where C_{ab} = sum w q_a p0_b gives
+    # sum w q^T R p0 = sum_{ab} C_{ab} R_{ab}.
+    n0 = jnp.maximum(mom["n0"], 1e-9)
+    spp = mom["npp"] + 2.0 * jnp.dot(t, R @ mom["n1"]) + n0 * jnp.dot(t, t)
+    spq = jnp.sum(mom["C"] * R) + jnp.dot(t, mom["nq"])
+    r2 = spp - 2.0 * spq + mom["nqq"]
+    resid = jnp.sqrt(jnp.maximum(r2, 0.0) / n0)
+    return A, b, resid
+
+
 def _hat(v):
     """Batched skew matrices ``[P, 3] -> [P, 3, 3]``."""
     z = jnp.zeros_like(v[:, 0])

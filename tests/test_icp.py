@@ -305,6 +305,65 @@ def test_gicp_recovers_transform(rng):
     assert rot_err < 2e-4, rot_err
 
 
+def test_gicp_moments_match_direct_system(rng):
+    """The moment-tensor reconstruction of the GICP normal equations must
+    equal the direct per-pair reduction exactly (same frozen M/weights)."""
+    P = 400
+    p0 = jnp.asarray(rng.normal(0, 4, (P, 3)).astype(np.float32))
+    q = jnp.asarray(rng.normal(0, 4, (P, 3)).astype(np.float32))
+
+    def unit(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+    sn = jnp.asarray(unit(rng.normal(size=(P, 3))).astype(np.float32))
+    rn = jnp.asarray(unit(rng.normal(size=(P, 3))).astype(np.float32))
+    w = jnp.asarray(
+        ((rng.uniform(0, 1, P) > 0.25) * rng.uniform(0.5, 2, P)).astype(np.float32)
+    )
+    T = se3.exp_se3(jnp.asarray([0.05, -0.1, 0.2, 0.3, -0.2, 0.1], jnp.float32))
+    p = p0 @ T[:3, :3].T + T[:3, 3]
+    sn_rot = sn @ T[:3, :3].T
+    A_d, b_d = minimizers.gicp_normal_equations(p, sn_rot, q, rn, w)
+    mom = minimizers.gicp_moments(p0, sn_rot, q, rn, w)
+    A_m, b_m, resid = minimizers.gicp_system_from_moments(T, mom)
+    np.testing.assert_allclose(np.asarray(A_m), np.asarray(A_d), rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(b_m), np.asarray(b_d), rtol=1e-4, atol=1e-2)
+    rd = np.sqrt(float(jnp.sum(w * jnp.sum((p - q) ** 2, -1)) / jnp.sum(w)))
+    assert abs(float(resid) - rd) < 1e-3 * rd
+
+
+def test_gicp_moment_cached_matches_direct(rng):
+    """Moment-cached GICP rounds (O(1) in-round iterations) must land on
+    the same transform as the direct per-pair path."""
+    ref_pts = make_surface_cloud(rng, n=4500)
+    ref = with_normals(ref_pts)
+    T_true = small_transform()
+    reading_pts = np.asarray(
+        se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts))
+    )
+    reading = normals_mod.estimate_normals(pc.from_points(reading_pts), knn=10)
+    base = dict(
+        BASE_CFG.__dict__,
+        minimizer="gicp",
+        matcher="grid",
+        grid_table_size=1 << 13,
+        grid_bucket_cap=48,
+        candidate_refresh_every=5,
+        candidate_slack=0.25,
+        fast_trimming=True,
+    )
+    errs = {}
+    for mc in (False, True):
+        cfg = icp_mod.ICPConfig(**{**base, "moment_cached": mc})
+        res = icp_mod.register_pair(reading, ref, jnp.eye(4), cfg)
+        errs[mc] = pose_error(res.transform, T_true)
+    # Both converge; the moment path must be at least as accurate (its
+    # stale-round guard re-verifies convergence on fresh weights).
+    assert errs[True][1] < 2e-3, errs
+    assert errs[True][0] < 5e-4, errs
+    assert errs[False][1] < 2e-3, errs
+
+
 @pytest.mark.slow
 def test_gicp_beats_point_to_point_on_sliding_planes(rng):
     # Two offset parallel planes sliding: plane-to-plane cost should still
