@@ -176,6 +176,82 @@ _GEN = jnp.asarray(
 )
 
 
+def point_to_plane_moments(p0, q, ref_normals, weights):
+    """Round-frozen sufficient statistics for the point-to-plane GN system.
+
+    Same collapse as :func:`gicp_moments`: with the pair set, weights and
+    reference normals frozen for a refresh round, every entry of the
+    point-to-plane ``A(T), b(T)`` (``J = [p x n ; n]``,
+    ``r = n.(p - q)``, ``p = R p0 + t``) is at most quadratic in ``p`` —
+    exactly reconstructible from second-order moments of
+    ``(p0, n, s = n.q)``. One streaming pass per round; O(1) per in-round
+    iteration. ≙ the per-iteration ``calculateOptimizationHessian`` pass
+    (``ICP.cpp:1513-1566``) amortized across a cached round.
+
+    Args: ``p0 [P, 3]`` reading points (reading frame, fixed), ``q [P, 3]``
+    matched reference points, ``ref_normals [P, 3]``, ``weights [P]``.
+    """
+    n = ref_normals
+    s = jnp.sum(n * q, axis=-1)  # frozen plane offsets n.q
+    ws = weights * s
+    return dict(
+        N2=jnp.einsum("p,pf,pg,pc,ph->fgch", weights, p0, p0, n, n),
+        N1=jnp.einsum("p,pf,pc,ph->fch", weights, p0, n, n),
+        N0=jnp.einsum("p,pc,ph->ch", weights, n, n),
+        Q1=jnp.einsum("p,pf,pc->fc", ws, p0, n),  # sum w s p0 n^T
+        Q0=jnp.einsum("p,pc->c", ws, n),  # sum w s n
+        Q2=jnp.sum(ws * s),  # sum w s^2
+        n0=jnp.sum(weights),
+    )
+
+
+def point_to_plane_system_from_moments(T, mom):
+    """Exact point-to-plane normal equations ``(A, b, resid)`` at pose ``T``
+    from round-frozen moments — O(1) per iteration.
+
+    Mirrors :func:`point_to_plane_normal_equations` exactly: ``A`` uses
+    ``J = [p x n ; n]`` with ``p x n = sum_d p_d (G_d n)`` expanded through
+    the moments; ``resid`` is the weighted RMS of ``n.(p - q)``."""
+    R, t = T[:3, :3], T[:3, 3]
+    G = _GEN.astype(R.dtype)
+    N2, N1, N0 = mom["N2"], mom["N1"], mom["N0"]
+    # Current-pose moments: M1[d,c,h] = sum w p_d n_c n_h,
+    # M2[d,e,c,h] = sum w p_d p_e n_c n_h.
+    RN1 = jnp.einsum("df,fch->dch", R, N1)
+    M1 = RN1 + t[:, None, None] * N0
+    RRN2 = jnp.einsum("df,eg,fgch->dech", R, R, N2)
+    M2 = (
+        RRN2
+        + t[:, None, None, None] * RN1[None]
+        + t[None, :, None, None] * RN1[:, None]
+        + (t[:, None] * t[None, :])[..., None, None] * N0
+    )
+    # Q1'[d,c] = sum w s p_d n_c at the current pose.
+    Q1p = jnp.einsum("df,fc->dc", R, mom["Q1"]) + t[:, None] * mom["Q0"]
+
+    A_tt = N0
+    A_ot = jnp.einsum("dac,dcb->ab", G, M1)  # sum w (p x n) n^T
+    A_oo = jnp.einsum("dac,ebh,dech->ab", G, G, M2)
+    A = jnp.zeros((6, 6), R.dtype)
+    A = A.at[:3, :3].set(A_oo)
+    A = A.at[:3, 3:].set(A_ot)
+    A = A.at[3:, :3].set(A_ot.T)
+    A = A.at[3:, 3:].set(A_tt)
+
+    # b = -sum w J r with r = n.p - s.
+    vec_np = jnp.einsum("dac,dece->a", G, M2)  # sum w (p x n)(n.p)
+    vec_s = jnp.einsum("dac,dc->a", G, Q1p)  # sum w (p x n) s
+    b_o = -(vec_np - vec_s)
+    b_t = -(jnp.einsum("eae->a", M1) - mom["Q0"])
+    b = jnp.concatenate([b_o, b_t])
+
+    n0 = jnp.maximum(mom["n0"], 1e-9)
+    snp2 = jnp.einsum("eheh->", M2)  # sum w (n.p)^2
+    ssnp = jnp.einsum("ee->", Q1p)  # sum w s (n.p)
+    resid = jnp.sqrt(jnp.maximum(snp2 - 2.0 * ssnp + mom["Q2"], 0.0) / n0)
+    return A, b, resid
+
+
 def gicp_moments(p0, src_normals0, q, ref_normals, weights, epsilon: float = 1e-3):
     """Round-frozen sufficient statistics for the GICP GN system.
 

@@ -332,6 +332,60 @@ def test_gicp_moments_match_direct_system(rng):
     assert abs(float(resid) - rd) < 1e-3 * rd
 
 
+def test_pt2plane_moments_match_direct_system(rng):
+    """Moment-tensor reconstruction of the point-to-plane normal equations
+    must equal the direct per-pair reduction."""
+    P = 600
+    p0 = jnp.asarray(rng.normal(0, 4, (P, 3)).astype(np.float32))
+    q = jnp.asarray(rng.normal(0, 4, (P, 3)).astype(np.float32))
+    n = rng.normal(size=(P, 3))
+    n = jnp.asarray((n / np.linalg.norm(n, axis=-1, keepdims=True)).astype(np.float32))
+    w = jnp.asarray(
+        ((rng.uniform(0, 1, P) > 0.25) * rng.uniform(0.5, 2, P)).astype(np.float32)
+    )
+    T = se3.exp_se3(jnp.asarray([0.05, -0.1, 0.2, 0.3, -0.2, 0.1], jnp.float32))
+    p = p0 @ T[:3, :3].T + T[:3, 3]
+    A_d, b_d = minimizers.point_to_plane_normal_equations(p, q, n, w)
+    mom = minimizers.point_to_plane_moments(p0, q, n, w)
+    A_m, b_m, resid = minimizers.point_to_plane_system_from_moments(T, mom)
+    np.testing.assert_allclose(np.asarray(A_m), np.asarray(A_d), rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(b_m), np.asarray(b_d), rtol=1e-4, atol=1e-2)
+    r = jnp.sum((p - q) * n, -1)
+    rd = float(jnp.sqrt(jnp.sum(w * r * r) / jnp.sum(w)))
+    assert abs(float(resid) - rd) < 1e-3 * max(rd, 1e-6)
+
+
+def test_pt2plane_moment_cached_matches_direct(rng):
+    """Moment-cached point-to-plane rounds (plain and X-ICP frozen-analysis)
+    must land on the same transform as the direct path."""
+    ref_pts = make_surface_cloud(rng, n=4500)
+    ref = with_normals(ref_pts)
+    T_true = small_transform()
+    reading_pts = np.asarray(
+        se3.apply_transform(se3.transform_inverse(T_true), jnp.asarray(ref_pts))
+    )
+    reading = pc.from_points(reading_pts)
+    base = dict(
+        BASE_CFG.__dict__,
+        matcher="grid",
+        grid_table_size=1 << 13,
+        grid_bucket_cap=48,
+        candidate_refresh_every=5,
+        candidate_slack=0.25,
+        fast_trimming=True,
+    )
+    for deg in (DegeneracyConfig(method="none"),
+                DegeneracyConfig(method="equality_constraints")):
+        errs = {}
+        for mc in (False, True):
+            cfg = icp_mod.ICPConfig(**{**base, "moment_cached": mc, "degeneracy": deg})
+            res = icp_mod.register_pair(reading, ref, jnp.eye(4), cfg)
+            errs[mc] = pose_error(res.transform, T_true)
+        assert errs[True][1] < 1e-3, (deg.method, errs)
+        assert errs[True][0] < 3e-4, (deg.method, errs)
+        assert errs[False][1] < 1e-3, (deg.method, errs)
+
+
 def test_gicp_moment_cached_matches_direct(rng):
     """Moment-cached GICP rounds (O(1) in-round iterations) must land on
     the same transform as the direct per-pair path."""

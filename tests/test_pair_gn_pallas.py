@@ -79,6 +79,7 @@ def test_fused_icp_matches_xla_path(rng):
         knn=8, max_match_dist=0.6, matcher="grid", grid_table_size=1 << 13,
         trimmed_ratio=0.9, fast_trimming=True, max_iterations=15,
         candidate_refresh_every=5, candidate_slack=0.15,
+        moment_cached=False,  # force the kernel-vs-XLA comparison
     )
     ref_b = normals_mod.estimate_normals(from_points(jnp.asarray(ref_pts), capacity=8192), knn=10)
     reference = icp_mod.build_reference(ref_b, cfg)
@@ -113,6 +114,7 @@ def test_fused_icp_vmapped(rng):
         knn=4, max_match_dist=0.6, matcher="grid", grid_table_size=1 << 12,
         trimmed_ratio=0.9, fast_trimming=True, max_iterations=10,
         candidate_refresh_every=5, fused_kernel=True,
+        moment_cached=False,  # exercise the kernel, not the moment path
     )
     ref_b = normals_mod.estimate_normals(from_points(jnp.asarray(ref_pts), capacity=4096), knn=10)
     reference = icp_mod.build_reference(ref_b, cfg)
@@ -154,7 +156,7 @@ def test_fused_xicp_matches_xla_path(rng):
         knn=1, max_match_dist=1.0, matcher="grid", grid_table_size=1 << 12,
         grid_bucket_cap=48, trimmed_ratio=0.85, max_iterations=12,
         coarse_iterations=0, candidate_refresh_every=6, candidate_slack=0.3,
-        fast_trimming=True,
+        fast_trimming=True, moment_cached=False,
         degeneracy=DegeneracyConfig(method="equality_constraints"),
     )
     r_u = icp_mod.register_pair(reading, ref_b, jnp.eye(4), base)
