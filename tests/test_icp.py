@@ -355,6 +355,7 @@ def test_pt2plane_moments_match_direct_system(rng):
     assert abs(float(resid) - rd) < 1e-3 * max(rd, 1e-6)
 
 
+@pytest.mark.slow
 def test_pt2plane_moment_cached_matches_direct(rng):
     """Moment-cached point-to-plane rounds (plain and X-ICP frozen-analysis)
     must land on the same transform as the direct path."""
@@ -374,18 +375,24 @@ def test_pt2plane_moment_cached_matches_direct(rng):
         candidate_slack=0.25,
         fast_trimming=True,
     )
-    for deg in (DegeneracyConfig(method="none"),
-                DegeneracyConfig(method="equality_constraints")):
+    variants = [
+        dict(degeneracy=DegeneracyConfig(method="none")),
+        dict(degeneracy=DegeneracyConfig(method="equality_constraints")),
+        dict(degeneracy=DegeneracyConfig(method="solution_remapping")),
+        dict(knn=2),
+    ]
+    for extra in variants:
         errs = {}
         for mc in (False, True):
-            cfg = icp_mod.ICPConfig(**{**base, "moment_cached": mc, "degeneracy": deg})
+            cfg = icp_mod.ICPConfig(**{**base, "moment_cached": mc, **extra})
             res = icp_mod.register_pair(reading, ref, jnp.eye(4), cfg)
             errs[mc] = pose_error(res.transform, T_true)
-        assert errs[True][1] < 1e-3, (deg.method, errs)
-        assert errs[True][0] < 3e-4, (deg.method, errs)
-        assert errs[False][1] < 1e-3, (deg.method, errs)
+        assert errs[True][1] < 1e-3, (extra, errs)
+        assert errs[True][0] < 3e-4, (extra, errs)
+        assert errs[False][1] < 1e-3, (extra, errs)
 
 
+@pytest.mark.slow
 def test_gicp_moment_cached_matches_direct(rng):
     """Moment-cached GICP rounds (O(1) in-round iterations) must land on
     the same transform as the direct per-pair path."""
