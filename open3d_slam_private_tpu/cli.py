@@ -78,6 +78,14 @@ def _cmd_run_slam(args) -> int:
     cfg = slam_config_from_yaml(args.config) if args.config else SlamConfig()
     pipe = SlamPipeline(cfg)
 
+    viz_srv = None
+    if getattr(args, "serve_viz", None) is not None:
+        from open3d_slam_private_tpu.viz_server import VizServer
+
+        viz_srv = VizServer(host="0.0.0.0", port=args.serve_viz)
+        print(f"live viz at http://{viz_srv.host}:{viz_srv.port}/")
+    args._viz_srv = viz_srv
+
     if args.scans.endswith(".bag"):
         return _run_slam_from_bag(args, pipe)
 
@@ -91,16 +99,26 @@ def _cmd_run_slam(args) -> int:
 
     cap = args.capacity
     t_start = time.perf_counter()
+    traj_log = []
     for i, path in enumerate(scans):
         pts, _ = load_cloud(path)
         batch = pc.from_points(pts, capacity=cap)
         stats = pipe.process_scan(batch, time=i * 0.1)
         pose = pipe.pose
+        traj_log.append(np.asarray(pose[:3, 3]))
         print(
             f"[{i + 1}/{len(scans)}] t=({pose[0, 3]:.2f} {pose[1, 3]:.2f} {pose[2, 3]:.2f}) "
             f"overlap={stats.get('overlap', 0):.2f} inserted={stats.get('inserted')} "
             f"submaps={len(pipe.submaps)}"
         )
+        # Throttled live publish (≙ the reference's visualization workers
+        # publishing under a cadence, SlamWrapperRos.cpp:275-293).
+        if viz_srv is not None and (i % 5 == 0 or i == len(scans) - 1):
+            viz_srv.publish(
+                map_points=pipe.assembled_map(),
+                trajectory=np.asarray(traj_log),
+                stats=stats,
+            )
     wall = time.perf_counter() - t_start
     print(f"processed {len(scans)} scans in {wall:.1f}s ({len(scans) / wall:.2f} Hz)")
 
@@ -206,6 +224,13 @@ def _run_slam_from_bag(args, pipe) -> int:
             n_scans += 1
             pose = pipe.pose
             traj_log.append(np.asarray(pose[:3, 3]))
+            viz_srv = getattr(args, "_viz_srv", None)
+            if viz_srv is not None and n_scans % 5 == 1:
+                viz_srv.publish(
+                    map_points=pipe.assembled_map(),
+                    trajectory=np.asarray(traj_log),
+                    stats=stats,
+                )
             print(
                 f"[{n_scans}] t={stamp:.3f} pos=({pose[0, 3]:.2f} {pose[1, 3]:.2f} "
                 f"{pose[2, 3]:.2f}) overlap={stats.get('overlap', 0):.2f} "
@@ -345,6 +370,13 @@ def main(argv=None) -> int:
     ps.add_argument("--save-map")
     ps.add_argument("--save-trajectory")
     ps.add_argument("--viz", help="write a top-down PNG render of map + trajectory")
+    ps.add_argument(
+        "--serve-viz",
+        type=int,
+        metavar="PORT",
+        help="serve a live map dashboard over HTTP during the replay "
+        "(0 picks a free port; the RViz-publisher analogue)",
+    )
     ps.add_argument("--save-checkpoint", help="run-level .npz checkpoint path")
     ps.set_defaults(fn=_cmd_run_slam)
 

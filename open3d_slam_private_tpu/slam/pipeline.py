@@ -466,7 +466,8 @@ class OnlineSlamRunner:
     CircularBuffers). One worker drains the scan queue; callers never block.
     The pipeline itself stays single-owner — only the worker touches it."""
 
-    def __init__(self, pipeline: SlamPipeline, queue_size: int = 20):
+    def __init__(self, pipeline: SlamPipeline, queue_size: int = 20,
+                 viz_server=None, viz_every: int = 5):
         import collections
 
         self.pipeline = pipeline
@@ -475,6 +476,13 @@ class OnlineSlamRunner:
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self.dropped = 0
+        # Optional live publisher (viz_server.VizServer): the worker pushes
+        # a throttled snapshot after every ``viz_every``-th scan, the
+        # analogue of the reference's visualization worker threads.
+        self._viz = viz_server
+        self._viz_every = max(1, int(viz_every))
+        self._scan_count = 0
+        self._traj: list = []
 
     def start(self) -> None:
         self._worker.start()
@@ -514,7 +522,16 @@ class OnlineSlamRunner:
             while self._imu_q:
                 it, acc, gyro = self._imu_q.popleft()
                 self.pipeline.add_imu(it, acc, gyro)
-            self.pipeline.process_scan(scan, t, external_odom_pose=odom)
+            stats = self.pipeline.process_scan(scan, t, external_odom_pose=odom)
+            self._scan_count += 1
+            if self._viz is not None:
+                self._traj.append(np.asarray(self.pipeline.pose[:3, 3]))
+                if self._scan_count % self._viz_every == 1 or self._viz_every == 1:
+                    self._viz.publish(
+                        map_points=self.pipeline.assembled_map(),
+                        trajectory=np.asarray(self._traj),
+                        stats=stats,
+                    )
 
     def stop(self) -> None:
         self._stop.set()

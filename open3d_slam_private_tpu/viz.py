@@ -20,11 +20,11 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["write_png", "render_topdown", "render_matches"]
+__all__ = ["encode_png", "write_png", "render_topdown", "render_matches"]
 
 
-def write_png(path: str, rgb: np.ndarray) -> None:
-    """Write an ``[H, W, 3] uint8`` array as a PNG (stdlib only)."""
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Encode an ``[H, W, 3] uint8`` array as PNG bytes (stdlib only)."""
     h, w, _ = rgb.shape
     raw = b"".join(
         b"\x00" + rgb[y].astype(np.uint8).tobytes() for y in range(h)
@@ -39,11 +39,18 @@ def write_png(path: str, rgb: np.ndarray) -> None:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    """Write an ``[H, W, 3] uint8`` array as a PNG (stdlib only)."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(encode_png(rgb))
 
 
 def _colormap(t: np.ndarray) -> np.ndarray:
