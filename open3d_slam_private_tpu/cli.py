@@ -8,6 +8,7 @@ TPU-native counterparts of the reference's executables:
   processed deterministically in order)
 - ``list-modules`` ≙ ``examples/list_modules.cpp``
 - ``compute-overlap`` ≙ ``examples/compute_overlap.cpp``
+- ``profile-filters`` ≙ ``examples/filterProfiler.cpp``
 - ``bench``     runs the repository benchmark
 
 Usage: ``python -m open3d_slam_private_tpu.cli <command> ...``.
@@ -313,6 +314,74 @@ def _cmd_compute_overlap(args) -> int:
     return 0
 
 
+def _cmd_profile_filters(args) -> int:
+    """≙ ``examples/filterProfiler.cpp``: time each DataPointsFilter stage of
+    a chain on one cloud. TPU-native twist: per-stage COMPILE time and
+    steady-state device time (median of ``--reps`` blocked runs) are reported
+    separately — on XLA the first call is a trace+compile, which the
+    reference's single ``clock()`` measurement would conflate."""
+    import jax
+
+    from open3d_slam_private_tpu.config.registry import make_filter_chain
+    from open3d_slam_private_tpu.io import load_cloud
+    from open3d_slam_private_tpu.ops import pointcloud as pc
+
+    if args.cloud:
+        pts, extras = load_cloud(args.cloud)
+    else:  # synthetic LiDAR-ish cloud, reproducible
+        rng = np.random.default_rng(0)
+        n = args.points
+        floor = np.c_[rng.uniform(-30, 30, (n // 2, 2)), rng.normal(0, 0.02, (n // 2, 1))]
+        walls = np.c_[rng.uniform(-30, 30, (n - n // 2, 1)),
+                      rng.normal(15, 0.05, (n - n // 2, 1)),
+                      rng.uniform(0, 5, (n - n // 2, 1))]
+        pts, extras = np.vstack([floor, walls]), None
+    cap = 1 << max(int(np.ceil(np.log2(max(len(pts), 2)))), 3)
+    batch = pc.from_points(pts, capacity=cap, extras=extras)
+
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            doc = yaml.safe_load(f)
+        spec = doc.get("readingDataPointsFilters", doc) if isinstance(doc, dict) else doc
+    else:  # the reference profiler's own chain (filterProfiler.cpp:47-80)
+        spec = [
+            {"RandomSamplingDataPointsFilter": {"prob": 0.5}},
+            {"VoxelGridDataPointsFilter": {
+                "vSizeX": 0.2, "vSizeY": 0.2, "vSizeZ": 0.2,
+                "useCentroid": 1 if args.use_centroid else 0,
+            }},
+            {"SurfaceNormalDataPointsFilter": {"knn": 10}},
+        ]
+
+    key = jax.random.PRNGKey(0)
+    rows = []
+    for item in spec:
+        name = item if isinstance(item, str) else next(iter(item))
+        stage = jax.jit(make_filter_chain([item]))
+        n_in = int(batch.count())
+        t0 = time.perf_counter()
+        out = stage(batch, key)
+        jax.block_until_ready(out.mask)
+        compile_ms = (time.perf_counter() - t0) * 1e3
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            out = stage(batch, key)
+            jax.block_until_ready(out.mask)
+            times.append((time.perf_counter() - t0) * 1e3)
+        p50 = float(np.median(times))
+        rows.append({
+            "filter": name, "points_in": n_in, "points_out": int(out.count()),
+            "compile_ms": round(compile_ms, 2), "p50_ms": round(p50, 3),
+            "mpts_per_s": round(n_in / max(p50, 1e-9) / 1e3, 1),
+        })
+        batch = out
+    print(json.dumps({"device": str(jax.devices()[0]), "stages": rows}, indent=2))
+    return 0
+
+
 def _cmd_list_modules(args) -> int:
     from open3d_slam_private_tpu.config.registry import FILTER_REGISTRY
 
@@ -398,6 +467,17 @@ def main(argv=None) -> int:
     po.add_argument("cloud_b")
     po.add_argument("--radius", type=float, default=0.5)
     po.set_defaults(fn=_cmd_compute_overlap)
+
+    pf = sub.add_parser(
+        "profile-filters", help="per-stage filter timing (filterProfiler)"
+    )
+    pf.add_argument("--cloud", default=None, help="input cloud (default: synthetic)")
+    pf.add_argument("--points", type=int, default=100_000)
+    pf.add_argument("--config", default=None,
+                    help="YAML filter list or icp.yaml (readingDataPointsFilters)")
+    pf.add_argument("--use-centroid", type=int, default=1)
+    pf.add_argument("--reps", type=int, default=5)
+    pf.set_defaults(fn=_cmd_profile_filters)
 
     pb = sub.add_parser("bench", help="run the benchmark")
     pb.set_defaults(fn=_cmd_bench)
