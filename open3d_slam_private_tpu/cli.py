@@ -55,8 +55,22 @@ def _cmd_register(args) -> int:
         )
     reading = pc.from_points(read_pts, capacity=cap_d)
 
+    # Initial guess, reference icp.cpp syntax: "x,y,z" / "r00,r01,r02;r10,...".
+    T_init = np.eye(4, dtype=np.float32)
+    if args.init_translation:
+        T_init[:3, 3] = [float(v) for v in args.init_translation.split(",")]
+    if args.init_rotation:
+        rows = [[float(v) for v in r.split(",")] for r in args.init_rotation.split(";")]
+        R = np.asarray(rows, dtype=np.float32)
+        if R.shape != (3, 3):
+            print("--init-rotation must be 3 semicolon-separated rows of 3", file=sys.stderr)
+            return 1
+        # correctParameters: re-orthonormalize a hand-typed rotation.
+        u, _, vt = np.linalg.svd(R)
+        T_init[:3, :3] = u @ vt
+
     t0 = time.perf_counter()
-    res = icp_mod.register_pair(reading, reference, jnp.eye(4), cfg)
+    res = icp_mod.register_pair(reading, reference, jnp.asarray(T_init), cfg)
     T = np.asarray(res.transform)
     dt = time.perf_counter() - t0
 
@@ -67,6 +81,14 @@ def _cmd_register(args) -> int:
     np.savetxt(sys.stdout, T, fmt="%12.8f")
     if args.output:
         np.savetxt(args.output, T)
+    if args.save_transformed:
+        # ≙ icp.cpp isTransfoSaved: write the reading moved into the
+        # reference frame by the computed transform.
+        from open3d_slam_private_tpu.io import save_cloud
+
+        moved = read_pts @ T[:3, :3].T + T[:3, 3]
+        save_cloud(args.save_transformed, moved.astype(np.float32))
+        print(f"transformed reading written to {args.save_transformed}")
     return 0
 
 
@@ -429,6 +451,13 @@ def main(argv=None) -> int:
     pr.add_argument("--max-dist", type=float, default=1.0)
     pr.add_argument("--max-iterations", type=int, default=40)
     pr.add_argument("--output", help="write the 4x4 transform here")
+    pr.add_argument("--init-translation", default=None, metavar="X,Y,Z",
+                    help="initial-guess translation (icp.cpp --initTranslation)")
+    pr.add_argument("--init-rotation", default=None, metavar="R00,R01,R02;R10,...",
+                    help="initial-guess rotation rows (icp.cpp --initRotation)")
+    pr.add_argument("--save-transformed", default=None, metavar="OUT.{ply,pcd,csv,vtk}",
+                    help="write the reading moved into the reference frame "
+                         "(icp.cpp isTransfoSaved)")
     pr.set_defaults(fn=_cmd_register)
 
     ps = sub.add_parser("run-slam", help="offline deterministic SLAM replay")

@@ -1,5 +1,6 @@
 from open3d_slam_private_tpu.io.pointcloud_io import (
     load_cloud,
+    save_cloud,
     load_csv,
     load_vtk,
     load_ply,
@@ -12,6 +13,7 @@ from open3d_slam_private_tpu.io.pointcloud_io import (
 
 __all__ = [
     "load_cloud",
+    "save_cloud",
     "load_csv",
     "load_vtk",
     "load_ply",

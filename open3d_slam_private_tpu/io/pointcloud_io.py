@@ -30,6 +30,20 @@ def load_cloud(path: str) -> Tuple[np.ndarray, Extras]:
     raise ValueError(f"unsupported point cloud format: {path}")
 
 
+def save_cloud(path: str, points: np.ndarray, extras: Optional[Extras] = None) -> None:
+    """Dispatch by extension (≙ ``DataPoints::save``, ``IO.cpp:388-404``)."""
+    p = str(path).lower()
+    if p.endswith(".csv"):
+        return save_csv(path, points, extras)
+    if p.endswith(".vtk"):
+        return save_vtk(path, points, extras)
+    if p.endswith(".ply"):
+        return save_ply(path, points, extras)
+    if p.endswith(".pcd"):
+        return save_pcd(path, points, extras)
+    raise ValueError(f"unsupported point cloud format: {path}")
+
+
 def load_csv(path: str) -> Tuple[np.ndarray, Extras]:
     """CSV with an optional header naming columns (x, y, z + descriptors).
 

@@ -58,6 +58,49 @@ def test_profile_filters_from_yaml(tmp_path, capsys):
     ]
 
 
+def test_register_init_guess_and_save_transformed(tmp_path, capsys):
+    # icp.cpp's --initTranslation/--initRotation/isTransfoSaved surface:
+    # a rotated+shifted pair that converges from the provided guess; the
+    # transformed reading lands on the reference.
+    rng = np.random.default_rng(1)
+    n = 3000
+    ref = np.c_[rng.uniform(-4, 4, (n, 2)), 0.2 * np.sin(rng.uniform(-4, 4, (n, 1)))]
+    ang = 0.3
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    t = np.array([0.8, -0.5, 0.1])
+    reading = (ref - t) @ R  # reading = R^T (ref - t): T_true maps reading->ref
+    pr, pd = tmp_path / "ref.ply", tmp_path / "read.ply"
+    from open3d_slam_private_tpu.io import load_cloud, save_cloud
+
+    save_cloud(str(pr), ref.astype(np.float32))
+    save_cloud(str(pd), reading.astype(np.float32))
+    out_T, out_cloud = tmp_path / "T.txt", tmp_path / "moved.pcd"
+    rc = cli.main([
+        "register", str(pd), str(pr),
+        "--max-dist", "2.0",
+        "--init-translation", f"{t[0]},{t[1]},{t[2]}",
+        "--init-rotation", "1,0,0;0,1,0;0,0,1",
+        "--output", str(out_T), "--save-transformed", str(out_cloud),
+    ])
+    assert rc == 0
+    T = np.loadtxt(out_T)
+    assert np.allclose(T[:3, :3], R, atol=2e-2)
+    assert np.allclose(T[:3, 3], t, atol=2e-2)
+    moved, _ = load_cloud(str(out_cloud))
+    # transformed reading ≈ reference (same point order by construction)
+    assert float(np.abs(moved - ref).max()) < 0.05
+
+
+def test_register_rejects_bad_rotation(tmp_path, capsys):
+    from open3d_slam_private_tpu.io import save_cloud
+
+    p = tmp_path / "c.csv"
+    save_cloud(str(p), np.zeros((4, 3), np.float32))
+    rc = cli.main(["register", str(p), str(p), "--init-rotation", "1,0;0,1"])
+    assert rc == 1
+
+
 def test_compute_overlap(tmp_path, capsys):
     rng = np.random.default_rng(0)
     a = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
