@@ -310,6 +310,12 @@ def _cmd_evaluate(args) -> int:
     if args.report:
         evaluation.write_report(args.report, results, summary)
         print(f"report written to {args.report}")
+        if args.plot:
+            evaluation.render_report(args.report, args.plot)
+            print(f"plot written to {args.plot}")
+    elif args.plot:
+        print("--plot needs --report (the CSV is the plot input)", file=sys.stderr)
+        return 1
     return 0
 
 
@@ -515,7 +521,9 @@ def main(argv=None) -> int:
     pe.add_argument("manifest", help="CSV: reading,reference,gt_00..gt_33[,init_..]")
     pe.add_argument("--config", help="libpointmatcher-style icp.yaml")
     pe.add_argument("--max-cases", type=int, default=0)
-    pe.add_argument("--report", help="write a markdown report here")
+    pe.add_argument("--report", help="write the CSV report here")
+    pe.add_argument("--plot", help="render the report as a PNG panel "
+                                   "(PlotSingleResults.ipynb analogue)")
     pe.set_defaults(fn=_cmd_evaluate)
 
     args = p.parse_args(argv)

@@ -144,3 +144,96 @@ def write_report(path: str, results: Sequence[EvalResult], summary: dict) -> Non
         w.writerow([])
         for k, v in summary.items():
             w.writerow([k, v])
+
+
+def read_report(path: str) -> Tuple[List[dict], dict]:
+    """Parse a :func:`write_report` CSV back into (rows, summary)."""
+    rows: List[dict] = []
+    summary: dict = {}
+    header: List[str] = []
+    with open(path, newline="") as f:
+        for rec in csv.reader(f):
+            if not rec or not any(rec) or rec[0].startswith("#"):
+                continue
+            if not header:
+                if rec[0] == "name":
+                    header = rec
+                continue
+            if len(rec) == len(header):
+                try:
+                    row = dict(zip(header, rec))
+                    for k in ("trans_err_m", "rot_err_rad", "overlap", "wall_s"):
+                        row[k] = float(row[k])
+                    row["iterations"] = int(row["iterations"])
+                    row["converged"] = row["converged"] == "True"
+                    rows.append(row)
+                    continue
+                except ValueError:
+                    pass  # fall through: a summary/other-protocol row
+            summary[rec[0]] = rec[1] if len(rec) > 1 else ""
+    return rows, summary
+
+
+def render_report(csv_path: str, png_path: str) -> None:
+    """Visual evaluation report (≙ the reference's result-plotting notebook,
+    ``evaluations/jupyter/PlotSingleResults.ipynb``): error distributions,
+    per-case wall time, and the error/overlap scatter, rendered from a
+    :func:`write_report` CSV. Offline tooling — uses matplotlib (Agg)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "render_report needs matplotlib; install it or use the CSV directly"
+        ) from e
+
+    rows, summary = read_report(csv_path)
+    if not rows:
+        raise ValueError(f"no result rows in {csv_path}")
+    te = np.array([r["trans_err_m"] for r in rows])
+    re_ = np.array([r["rot_err_rad"] for r in rows])
+    ws = np.array([r["wall_s"] for r in rows])
+    ov = np.array([r["overlap"] for r in rows])
+    conv = np.array([r["converged"] for r in rows])
+
+    fig, axes = plt.subplots(2, 2, figsize=(11, 8))
+    fig.suptitle(f"evaluation report — {len(rows)} cases", fontsize=13)
+
+    ax = axes[0, 0]
+    ax.hist(te * 1e3, bins=min(30, max(5, len(te))), color="#4878cf", alpha=0.85)
+    ax.axvline(float(np.median(te)) * 1e3, color="k", ls="--", lw=1,
+               label=f"median {np.median(te) * 1e3:.2f} mm")
+    ax.set_xlabel("translation error [mm]")
+    ax.set_ylabel("cases")
+    ax.legend(frameon=False)
+
+    ax = axes[0, 1]
+    ax.hist(np.degrees(re_), bins=min(30, max(5, len(re_))), color="#d65f5f", alpha=0.85)
+    ax.axvline(float(np.degrees(np.median(re_))), color="k", ls="--", lw=1,
+               label=f"median {np.degrees(np.median(re_)):.3f} deg")
+    ax.set_xlabel("rotation error [deg]")
+    ax.set_ylabel("cases")
+    ax.legend(frameon=False)
+
+    ax = axes[1, 0]
+    ax.bar(np.arange(len(ws)), ws * 1e3, color="#6acc65")
+    ax.set_xlabel("case index")
+    ax.set_ylabel("wall time [ms]")
+
+    ax = axes[1, 1]
+    ax.scatter(ov[conv], te[conv] * 1e3, s=18, c="#4878cf", label="converged")
+    if (~conv).any():
+        ax.scatter(ov[~conv], te[~conv] * 1e3, s=22, c="#d65f5f", marker="x",
+                   label="not converged")
+    ax.set_xlabel("overlap ratio")
+    ax.set_ylabel("translation error [mm]")
+    ax.set_yscale("log")
+    ax.legend(frameon=False)
+
+    for a in axes.flat:
+        a.spines[["top", "right"]].set_visible(False)
+    fig.tight_layout(rect=(0, 0, 1, 0.96))
+    fig.savefig(png_path, dpi=110)
+    plt.close(fig)

@@ -88,3 +88,49 @@ def test_viz_render_matches(tmp_path, rng):
     img = viz.render_matches(src, tgt, size=128, path=str(tmp_path / "m.png"))
     assert img.shape == (128, 128, 3)
     assert (img.sum(axis=2) > 0).sum() > 100
+
+
+def test_read_report_and_render(tmp_path):
+    # Round-trip write_report -> read_report, then the plotting analogue of
+    # evaluations/jupyter/PlotSingleResults.ipynb renders a valid PNG.
+    results = [
+        evaluation.EvalResult(
+            name=f"case{i}", trans_err_m=0.001 * (i + 1),
+            rot_err_rad=0.0002 * i, iterations=8 + i, converged=i != 3,
+            overlap=0.7 + 0.02 * i, wall_s=0.01 * (i + 1),
+        )
+        for i in range(5)
+    ]
+    csv_path = tmp_path / "report.csv"
+    evaluation.write_report(str(csv_path), results, {"pair_cases": 5})
+    rows, summary = evaluation.read_report(str(csv_path))
+    assert len(rows) == 5
+    assert rows[2]["trans_err_m"] == pytest.approx(0.003)
+    assert rows[3]["converged"] is False
+    assert summary["pair_cases"] == "5"
+
+    png = tmp_path / "report.png"
+    try:
+        evaluation.render_report(str(csv_path), str(png))
+    except ImportError:
+        pytest.skip("matplotlib not installed")
+    assert png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+    assert png.stat().st_size > 5000
+
+
+def test_read_report_tolerates_multi_protocol(tmp_path):
+    # EVAL_r02.csv-style concatenated protocols: rows that don't match the
+    # header land in summary, protocol-1 rows still parse.
+    p = tmp_path / "multi.csv"
+    p.write_text(
+        '"# protocol 1",dev\n'
+        "name,trans_err_m,rot_err_rad,iterations,converged,overlap,wall_s\n"
+        "a,0.001,0.0001,5,True,0.8,0.5\n"
+        "pair_cases,1\n"
+        '"# protocol 2"\n'
+        "frame,ate_trans_m,ate_rot_rad\n"
+        "0,0.01,0.001\n"
+    )
+    rows, summary = evaluation.read_report(str(p))
+    assert len(rows) == 1 and rows[0]["name"] == "a"
+    assert summary["pair_cases"] == "1"
