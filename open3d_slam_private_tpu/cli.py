@@ -36,7 +36,7 @@ def _cmd_register(args) -> int:
     from open3d_slam_private_tpu.ops import pointcloud as pc
 
     ref_pts, ref_extras = load_cloud(args.reference)
-    read_pts, _ = load_cloud(args.reading)
+    read_pts, read_extras = load_cloud(args.reading)
 
     if args.config:
         cfg = icp_config_from_yaml(args.config)
@@ -58,15 +58,32 @@ def _cmd_register(args) -> int:
     # Initial guess, reference icp.cpp syntax: "x,y,z" / "r00,r01,r02;r10,...".
     T_init = np.eye(4, dtype=np.float32)
     if args.init_translation:
-        T_init[:3, 3] = [float(v) for v in args.init_translation.split(",")]
+        try:
+            vals = [float(v) for v in args.init_translation.split(",")]
+        except ValueError:
+            print("--init-translation must be 3 comma-separated numbers", file=sys.stderr)
+            return 1
+        if len(vals) != 3:
+            print("--init-translation must be 3 comma-separated numbers", file=sys.stderr)
+            return 1
+        T_init[:3, 3] = vals
     if args.init_rotation:
-        rows = [[float(v) for v in r.split(",")] for r in args.init_rotation.split(";")]
+        try:
+            rows = [[float(v) for v in r.split(",")] for r in args.init_rotation.split(";")]
+        except ValueError:
+            print("--init-rotation must be 3 semicolon-separated rows of 3", file=sys.stderr)
+            return 1
         R = np.asarray(rows, dtype=np.float32)
         if R.shape != (3, 3):
             print("--init-rotation must be 3 semicolon-separated rows of 3", file=sys.stderr)
             return 1
         # correctParameters: re-orthonormalize a hand-typed rotation.
+        # SVD alone can return a reflection (det = -1) for a sign-typo'd
+        # input; flip the last singular direction so the result is always a
+        # proper rotation (the reference's cross-product rebuild guarantee).
         u, _, vt = np.linalg.svd(R)
+        if np.linalg.det(u @ vt) < 0:
+            u[:, -1] *= -1
         T_init[:3, :3] = u @ vt
 
     t0 = time.perf_counter()
@@ -83,11 +100,22 @@ def _cmd_register(args) -> int:
         np.savetxt(args.output, T)
     if args.save_transformed:
         # ≙ icp.cpp isTransfoSaved: write the reading moved into the
-        # reference frame by the computed transform.
+        # reference frame by the computed transform, with the full
+        # descriptor set preserved (direction-like descriptors rotated, as
+        # TransformationsImpl does for normals/observationDirections).
         from open3d_slam_private_tpu.io import save_cloud
 
         moved = read_pts @ T[:3, :3].T + T[:3, 3]
-        save_cloud(args.save_transformed, moved.astype(np.float32))
+        out_extras = None
+        if read_extras:
+            direction_like = ("normals", "observationDirections", "eigVectors")
+            out_extras = {}
+            for name, vals in read_extras.items():
+                v = np.asarray(vals)
+                if name in direction_like and v.ndim == 2 and v.shape[1] == 3:
+                    v = v @ T[:3, :3].T
+                out_extras[name] = v
+        save_cloud(args.save_transformed, moved.astype(np.float32), out_extras)
         print(f"transformed reading written to {args.save_transformed}")
     return 0
 
@@ -290,6 +318,10 @@ def _cmd_evaluate(args) -> int:
     from open3d_slam_private_tpu.config import icp_config_from_yaml
     from open3d_slam_private_tpu.models import icp as icp_mod
 
+    if args.plot and not args.report:
+        # Validate before the (potentially long) evaluation runs.
+        print("--plot needs --report (the CSV is the plot input)", file=sys.stderr)
+        return 1
     cfg = (
         icp_config_from_yaml(args.config)
         if args.config
@@ -372,7 +404,17 @@ def _cmd_profile_filters(args) -> int:
 
         with open(args.config) as f:
             doc = yaml.safe_load(f)
-        spec = doc.get("readingDataPointsFilters", doc) if isinstance(doc, dict) else doc
+        if isinstance(doc, dict):
+            if "readingDataPointsFilters" not in doc:
+                print(
+                    f"{args.config}: expected a YAML filter list or an "
+                    "icp.yaml with a readingDataPointsFilters section",
+                    file=sys.stderr,
+                )
+                return 1
+            spec = doc["readingDataPointsFilters"]
+        else:
+            spec = doc
     else:  # the reference profiler's own chain (filterProfiler.cpp:47-80)
         spec = [
             {"RandomSamplingDataPointsFilter": {"prob": 0.5}},
