@@ -133,12 +133,18 @@ def main():
         fused_kernel=True,
         fast_trimming=True,
     )
-    # The PRODUCTION chain: X-ICP OptimizedEqualityConstraints every
-    # iteration, exactly like the reference's param/icp.yaml. The analysis
-    # freezes per candidate-refresh round, so the in-round iterations run
-    # the fused pair-GN kernel + frozen-direction KKT.
+    # The PRODUCTION chain: X-ICP OptimizedEqualityConstraints exactly like
+    # the reference's param/icp.yaml (binary detection computed on the first
+    # iteration and frozen -- ICP.cpp:2220-2226 -- with the yaml's
+    # thresholds 250/180); in-round iterations run the fused pair-GN kernel
+    # + frozen-direction KKT.
     xicp_cfg = dataclasses.replace(
-        light_cfg, degeneracy=DegeneracyConfig(method="equality_constraints")
+        light_cfg,
+        degeneracy=DegeneracyConfig(
+            method="optimized",
+            enough_information_threshold=250.0,
+            insufficient_information_threshold=180.0,
+        ),
     )
 
     # ------------------------------------------------------------------

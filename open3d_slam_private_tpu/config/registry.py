@@ -446,10 +446,17 @@ def icp_config_from_dict(doc: dict, matcher_backend: str = "grid") -> icp_mod.IC
     # X-ICP degeneracy awareness. The production icp.yaml nests the method
     # name with its params: ``degeneracyAwareness: {OptimizedEqualityConstraints:
     # {enoughInformationThreshold: ...}}`` (``ICP.cpp:117-210`` YAML loading).
+    # kOptimizedEqualityConstraints (the production method) is the BINARY
+    # first-iteration-only detection (ICP.cpp:2185-2446);
+    # kEqualityConstraints / kInequalityConstraints run the ternary-level
+    # detection with partial 3-DoF constraint re-solves every iteration
+    # (ICP.cpp:1698-2157). The reference's inequality QP solve is an
+    # unimplemented stub upstream (PointToPlane.cpp:402-450 logs an error),
+    # so InequalityConstraints maps to the equality KKT here too.
     method_map = {
         "None": "none",
         "SolutionRemapping": "solution_remapping",
-        "OptimizedEqualityConstraints": "equality_constraints",
+        "OptimizedEqualityConstraints": "optimized",
         "EqualityConstraints": "equality_constraints",
         "TernaryLevelDetection": "equality_constraints",
         "InequalityConstraints": "equality_constraints",

@@ -402,17 +402,36 @@ def _weights(
     return w
 
 
-def _solve(A, b, src_flat, mn_flat, ddn, pair_mask, cfg: ICPConfig, frozen_loc=None):
+def _solve(
+    A, b, src_flat, mn_flat, ddn, pair_mask, cfg: ICPConfig,
+    frozen_loc=None, prev_loc=None, step_it=None,
+):
     method = cfg.degeneracy.method
     if method == "solution_remapping":
         x, loc = xicp.solve_with_solution_remapping(A, b, cfg.degeneracy)
-    elif method == "equality_constraints":
+    elif method in ("equality_constraints", "optimized"):
         if frozen_loc is not None:
-            # Round-frozen analysis (DegeneracyConfig.analysis_per_round):
-            # reuse the constrained-direction decision computed at round
-            # start; only the KKT solve runs on this iteration's A, b.
+            # Round-frozen analysis (DegeneracyConfig.analysis_per_round, or
+            # the Optimized method's first-iteration-only contract): reuse
+            # the constrained-direction decision; only the KKT solve runs on
+            # this iteration's A, b.
             loc = frozen_loc
+        elif method == "optimized":
+            # kOptimizedEqualityConstraints detects on the FIRST iteration
+            # only (ICP.cpp:2220-2226); later iterations reuse the decision.
+            def _fresh():
+                return xicp.analyze_optimized(
+                    A, b, src_flat, mn_flat, pair_mask, cfg.degeneracy,
+                    axis_name=cfg.shard_axis, with_spectrum=False,
+                )
+
+            if prev_loc is None or step_it is None:
+                loc = _fresh()
+            else:
+                loc = jax.lax.cond(step_it == 0, _fresh, lambda: prev_loc)
         else:
+            # Ternary-level detection re-analyzes every iteration
+            # (ICP.cpp:1702 forces re-analysis).
             loc = xicp.analyze_equality_constraints(
                 A, b, src_flat, mn_flat, ddn, pair_mask, cfg.degeneracy,
                 axis_name=cfg.shard_axis, with_spectrum=False,
@@ -471,7 +490,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             cfg.max_match_dist,
         )
 
-    def gn_update(T, src, res, trim_limit=None, step_it=None, frozen_loc=None):
+    def gn_update(T, src, res, trim_limit=None, step_it=None, frozen_loc=None, prev_loc=None):
         # Pair axis M: cfg.knn for gathered matches, full candidate capacity
         # for the masked candidate-major layout (extra slots carry w = 0).
         m = res.ids.shape[1]
@@ -554,13 +573,13 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                 A, b = _allsum(A), _allsum(b)
                 A_out = A
                 if cfg.degeneracy.method != "none":
-                    if frozen_loc is None:
+                    if frozen_loc is None and cfg.degeneracy.method != "optimized":
                         ddn = jnp.sum((src_flat - q) * mn, axis=-1)
                     else:
-                        ddn = None  # unused when the analysis is frozen
+                        ddn = None  # unused when the analysis is frozen/binary
                     x, loc = _solve(
                         A, b, src_flat, mn, ddn, pair_mask & (w > 0), cfg,
-                        frozen_loc=frozen_loc,
+                        frozen_loc=frozen_loc, prev_loc=prev_loc, step_it=step_it,
                     )
                 else:
                     x = minimizers.solve_normal_equations_fast(A, b)
@@ -577,10 +596,11 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
         overlap = _allsum(jnp.sum((w > 0).astype(dtype))) / (n_valid * cfg.knn)
         return dT, loc, match_ratio, overlap, resid, A_out
 
-    def one_iteration(T, it):
+    def one_iteration(s):
+        T, it = s["T"], s["it"]
         src = se3.apply_transform(T, reading.xyz)
         res = _match(src, reading.mask, ref, cfg, max_dist=var_md)
-        return gn_update(T, src, res, step_it=it)
+        return gn_update(T, src, res, step_it=it, prev_loc=s["loc"])
 
     loc0 = xicp._identity_result(dtype)
     state0 = dict(
@@ -689,10 +709,12 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             and not cfg.force_2d
             and not cfg.force_4dof
             # Degeneracy handling composes when its per-iteration input is
-            # just (A, b): SolutionRemapping always, X-ICP equality
-            # constraints when the analysis freezes per round.
+            # just (A, b): SolutionRemapping always, the binary Optimized
+            # method always (first-iteration-frozen by construction), X-ICP
+            # ternary equality constraints when the analysis freezes per
+            # round.
             and (
-                cfg.degeneracy.method in ("none", "solution_remapping")
+                cfg.degeneracy.method in ("none", "solution_remapping", "optimized")
                 or (
                     cfg.degeneracy.method == "equality_constraints"
                     and cfg.degeneracy.analysis_per_round
@@ -771,30 +793,54 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             # the freshly selected pairs, then reused by every in-round
             # iteration (which still solves its own KKT on fresh A, b). Same
             # staleness bound as the pair cache. Saves the ~dozen 64k-element
-            # alignment/contribution streams on R-1 of R iterations.
+            # alignment/contribution streams on R-1 of R iterations. For the
+            # binary Optimized method the reference detects on the FIRST
+            # iteration only (ICP.cpp:2220-2226), so the analysis runs in
+            # round 0 and every later round reuses the carried decision.
             frozen_loc = None
             if (
-                cfg.degeneracy.method == "equality_constraints"
-                and cfg.degeneracy.analysis_per_round
+                cfg.degeneracy.method in ("equality_constraints", "optimized")
+                and (
+                    cfg.degeneracy.analysis_per_round
+                    or cfg.degeneracy.method == "optimized"
+                )
                 and cfg.minimizer == "point_to_plane"
                 and not cfg.force_2d
                 and not cfg.force_4dof
             ):
-                q0 = res0.xyz.reshape(-1, 3)
-                mn0 = res0.normals.reshape(-1, 3)
-                w0 = _weights(res0, reading, mn0, cfg, trim_limit=trim_limit, ref_desc=gd_vals)
-                src0_flat = jnp.repeat(src0, res0.ids.shape[1], axis=0)
-                pm0 = res0.valid().reshape(-1)
-                A0, b0 = minimizers.point_to_plane_normal_equations_bc(
-                    src0, res0.xyz, res0.normals, w0.reshape(res0.ids.shape)
-                )
-                A0, b0 = _allsum(A0), _allsum(b0)
-                ddn0 = jnp.sum((src0_flat - q0) * mn0, axis=-1)
-                frozen_loc = xicp.analyze_equality_constraints(
-                    A0, b0, src0_flat, mn0, ddn0, pm0 & (w0 > 0),
-                    cfg.degeneracy, axis_name=cfg.shard_axis,
-                    with_spectrum=False,
-                )
+
+                def _round_analysis():
+                    q0 = res0.xyz.reshape(-1, 3)
+                    mn0 = res0.normals.reshape(-1, 3)
+                    w0 = _weights(
+                        res0, reading, mn0, cfg, trim_limit=trim_limit,
+                        ref_desc=gd_vals,
+                    )
+                    src0_flat = jnp.repeat(src0, res0.ids.shape[1], axis=0)
+                    pm0 = res0.valid().reshape(-1)
+                    A0, b0 = minimizers.point_to_plane_normal_equations_bc(
+                        src0, res0.xyz, res0.normals, w0.reshape(res0.ids.shape)
+                    )
+                    A0, b0 = _allsum(A0), _allsum(b0)
+                    if cfg.degeneracy.method == "optimized":
+                        return xicp.analyze_optimized(
+                            A0, b0, src0_flat, mn0, pm0 & (w0 > 0),
+                            cfg.degeneracy, axis_name=cfg.shard_axis,
+                            with_spectrum=False,
+                        )
+                    ddn0 = jnp.sum((src0_flat - q0) * mn0, axis=-1)
+                    return xicp.analyze_equality_constraints(
+                        A0, b0, src0_flat, mn0, ddn0, pm0 & (w0 > 0),
+                        cfg.degeneracy, axis_name=cfg.shard_axis,
+                        with_spectrum=False,
+                    )
+
+                if cfg.degeneracy.method == "optimized":
+                    frozen_loc = jax.lax.cond(
+                        s["it"] == 0, _round_analysis, lambda: s["loc"]
+                    )
+                else:
+                    frozen_loc = _round_analysis()
 
             # Moment-cached rounds (GICP and point-to-plane): freeze pairs,
             # weights (and for GICP the per-pair precisions M) at round
@@ -1023,7 +1069,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
         return final
 
     def body(s):
-        return advance(s, one_iteration(s["T"], s["it"]))
+        return advance(s, one_iteration(s))
 
     return jax.lax.while_loop(cond, body, state0)
 

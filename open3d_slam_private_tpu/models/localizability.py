@@ -9,12 +9,26 @@ masked array math:
   out of the solution: ``P = V diag(keep) V^T`` (equivalent to the
   reference's ``(V^T)^-1 V_zeroed^T`` for orthogonal V,
   ``ICP.cpp:1622-1667``).
-- ``optimized_equality_constraints`` (the X-ICP "Optimized"/"Ternary"
-  method family, ``ICP.cpp:1698-2446``): per-subspace 3x3 eigenanalysis,
-  per-point alignment contributions against each eigenvector with weak/strong
-  cosine gates, ternary categorization (localizable / partially localizable
-  with re-sampled 3-DoF solve / non-localizable), and an equality-constrained
-  KKT solve (``PointToPlane.cpp:459-505``).
+- ``optimized`` (kOptimizedEqualityConstraints, the production
+  ``param/icp.yaml`` method; ``ICP.cpp:2185-2446``): per-subspace 3x3
+  eigenanalysis + per-point alignment contributions with weak/strong cosine
+  gates, then a BINARY decision per direction — localizable iff
+  ``combined >= enoughInformationThreshold`` or
+  ``high >= insufficientInformationThreshold``
+  (``detectLocalizability``, ``ICP.cpp:2129-2160``). Non-localizable
+  directions are locked with constraint value 0; there is no partial
+  re-solve. The reference runs this detection on the FIRST iteration only
+  (``ICP.cpp:2220-2226`` early-returns afterwards), so the engine computes
+  it once per GN phase and freezes the result.
+- ``equality_constraints`` (kEqualityConstraints / the Ternary-level
+  family, ``ICP.cpp:1698-2157``): same alignment machinery but a TERNARY
+  categorization per direction (localizable / partially localizable with a
+  re-sampled 3-DoF partial solve supplying a non-zero constraint value /
+  non-localizable), re-evaluated every iteration
+  (``detectLocalizabilityWithTernaryLevelDetection`` forces re-analysis at
+  ``ICP.cpp:1702``). Both families share the equality-constrained KKT solve
+  (``PointToPlane.cpp:459-505``, identical for both at
+  ``PointToPlane.cpp:311-316``).
 
 All shapes fixed; the KKT system is always 12x12 with inactive constraint
 rows zeroed (min-norm symmetric pseudo-solve keeps them inert, matching the
@@ -42,7 +56,11 @@ class DegeneracyConfig:
     (``PointMatcher.h:686-733``). Thresholds are contribution *sums* and thus
     scale with point count, exactly like the reference defaults."""
 
-    method: str = "none"  # none | solution_remapping | equality_constraints
+    # none | solution_remapping | optimized (binary, first-iteration-only:
+    # kOptimizedEqualityConstraints) | equality_constraints (ternary with
+    # partial 3-DoF constraint re-solve: kEqualityConstraints /
+    # TernaryLevelDetection).
+    method: str = "none"
     solution_remapping_threshold: float = 150.0
     # Use the condition-number variant of solution remapping (2019 flag).
     use_condition_number_threshold: bool = False
@@ -117,7 +135,9 @@ def solve_with_solution_remapping(A, b, cfg: DegeneracyConfig):
     return x, res
 
 
-def _subspace_contributions(align_vecs, eigvecs, point_mask, cfg: DegeneracyConfig):
+def _subspace_contributions(
+    align_vecs, eigvecs, point_mask, cfg: DegeneracyConfig, strict_weak: bool = False
+):
     """Contribution sums of each point against each of 3 eigenvectors.
 
     ``align_vecs [P, 3]`` unit-ish alignment vectors, ``eigvecs [3, 3]``
@@ -127,14 +147,102 @@ def _subspace_contributions(align_vecs, eigvecs, point_mask, cfg: DegeneracyConf
     (``ICP.cpp:2050-2100``) — without the early-exit truncation (which only
     saves CPU time in the reference; sums past the exit point only increase,
     and the decision thresholds compare identically).
+
+    ``strict_weak``: the Optimized method's ``detectLocalizability``
+    (``ICP.cpp:2129-2160``) gates the combined sum with a STRICT
+    ``> minimalAlignmentCosine`` where the ternary counter uses ``>=``.
     """
     a = jnp.abs(align_vecs @ eigvecs)  # [P, 3]
     a = jnp.where(point_mask[:, None], a, 0.0)
     strong = a > cfg.strong_alignment_cos
-    weak = a >= cfg.weak_alignment_cos
+    weak = a > cfg.weak_alignment_cos if strict_weak else a >= cfg.weak_alignment_cos
     high = jnp.sum(jnp.where(strong, a, 0.0), axis=0)
     combined = jnp.sum(jnp.where(weak, a, 0.0), axis=0)
     return combined, high, weak, strong
+
+
+def _alignment_geometry(A, src_xyz, matched_normals, pair_mask, dtype, allsum):
+    """Shared setup for both X-ICP detection families: per-subspace 3x3
+    eigenvectors and the per-point alignment vectors
+    (``eigenAnalysis`` ``ICP.cpp:1581-1591`` + alignment vectors
+    ``ICP.cpp:1760-1790``: translation -> matched normals, rotation ->
+    cross(p - center, n) normalized only when ||.|| >= 1)."""
+    rot_w, rot_V = eigh3x3(A[:3, :3][None])
+    tr_w, tr_V = eigh3x3(A[3:, 3:][None])
+    rot_V, tr_V = rot_V[0], tr_V[0]
+
+    count = jnp.maximum(allsum(jnp.sum(pair_mask.astype(dtype))), 1.0)
+    center = allsum(jnp.sum(jnp.where(pair_mask[:, None], src_xyz, 0.0), axis=0)) / count
+    crosses = jnp.cross(src_xyz - center, matched_normals)
+    cnorm = jnp.linalg.norm(crosses, axis=-1, keepdims=True)
+    crosses = jnp.where(cnorm >= 1.0, crosses / jnp.maximum(cnorm, 1e-30), crosses)
+    return rot_V, tr_V, crosses
+
+
+def analyze_optimized(
+    A,
+    b,
+    src_xyz,
+    matched_normals,
+    pair_mask,
+    cfg: DegeneracyConfig,
+    axis_name=None,
+    with_spectrum: bool = False,
+):
+    """Binary X-ICP localizability detection — kOptimizedEqualityConstraints
+    (``detectLocalizabilityWithOptimizedMethod``, ``ICP.cpp:2185-2446``).
+
+    Per direction: localizable iff
+    ``combined >= enough_information_threshold`` or
+    ``high >= insufficient_information_threshold`` (the Optimized method
+    reads the LOWER threshold pair — it never uses
+    ``high_information_threshold``). Non-localizable directions are locked
+    at constraint value 0; there is no partial 3-DoF re-solve. The reference
+    computes this once, on the first iteration (``ICP.cpp:2220-2226``); the
+    engine mirrors that by freezing the returned result for the whole phase.
+    """
+    dtype = A.dtype
+
+    def allsum(v):
+        return jax.lax.psum(v, axis_name) if axis_name is not None else v
+
+    rot_V, tr_V, crosses = _alignment_geometry(
+        A, src_xyz, matched_normals, pair_mask, dtype, allsum
+    )
+    if with_spectrum:
+        w6, _ = jnp.linalg.eigh(A)
+        cond = jnp.max(jnp.abs(w6)) / jnp.maximum(jnp.min(jnp.abs(w6)), 1e-30)
+    else:
+        w6 = jnp.zeros((6,), dtype)
+        cond = jnp.asarray(1.0, dtype)
+
+    comb_r, high_r, _, _ = _subspace_contributions(
+        crosses, rot_V, pair_mask, cfg, strict_weak=True
+    )
+    comb_t, high_t, _, _ = _subspace_contributions(
+        matched_normals, tr_V, pair_mask, cfg, strict_weak=True
+    )
+    comb_r, high_r = allsum(comb_r), allsum(high_r)
+    comb_t, high_t = allsum(comb_t), allsum(high_t)
+
+    def localizable(comb, high):
+        return (comb >= cfg.enough_information_threshold) | (
+            high >= cfg.insufficient_information_threshold
+        )
+
+    loc_r = localizable(comb_r, high_r)
+    loc_t = localizable(comb_t, high_t)
+
+    return LocalizabilityResult(
+        eigenvalues6=w6,
+        condition_number=cond,
+        localizability_rot=loc_r.astype(dtype),
+        localizability_trans=loc_t.astype(dtype),
+        rotation_eigenvectors=rot_V,
+        translation_eigenvectors=tr_V,
+        constraint_values_rot=jnp.zeros((3,), dtype),
+        constraint_values_trans=jnp.zeros((3,), dtype),
+    )
 
 
 def _partial_constraint_values(
@@ -186,10 +294,9 @@ def analyze_equality_constraints(
     def allsum(v):
         return jax.lax.psum(v, axis_name) if axis_name is not None else v
 
-    # Per-subspace eigenanalysis (``eigenAnalysis`` 3x3, ICP.cpp:1581-1591).
-    rot_w, rot_V = eigh3x3(A[:3, :3][None])
-    tr_w, tr_V = eigh3x3(A[3:, 3:][None])
-    rot_V, tr_V = rot_V[0], tr_V[0]
+    rot_V, tr_V, crosses = _alignment_geometry(
+        A, src_xyz, matched_normals, pair_mask, dtype, allsum
+    )
 
     # The 6x6 spectrum is diagnostics only (the detection itself uses the
     # 3x3 subspace analyses); the ICP loop re-derives it once from the final
@@ -200,14 +307,6 @@ def analyze_equality_constraints(
     else:
         w6 = jnp.zeros((6,), dtype)
         cond = jnp.asarray(1.0, dtype)
-
-    # Alignment vectors (``ICP.cpp:1760-1790``): translation -> normals;
-    # rotation -> cross((p - center), n), normalized only if ||.|| >= 1.
-    count = jnp.maximum(allsum(jnp.sum(pair_mask.astype(dtype))), 1.0)
-    center = allsum(jnp.sum(jnp.where(pair_mask[:, None], src_xyz, 0.0), axis=0)) / count
-    crosses = jnp.cross(src_xyz - center, matched_normals)
-    cnorm = jnp.linalg.norm(crosses, axis=-1, keepdims=True)
-    crosses = jnp.where(cnorm >= 1.0, crosses / jnp.maximum(cnorm, 1e-30), crosses)
 
     comb_r, high_r, weak_r, strong_r = _subspace_contributions(crosses, rot_V, pair_mask, cfg)
     comb_t, high_t, weak_t, strong_t = _subspace_contributions(matched_normals, tr_V, pair_mask, cfg)

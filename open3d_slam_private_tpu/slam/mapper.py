@@ -72,10 +72,16 @@ class MapperConfig:
             fused_kernel=True,
             # The reference production config runs X-ICP degeneracy
             # awareness (param/icp.yaml degeneracyAwareness:
-            # OptimizedEqualityConstraints; ICP.cpp:1079-1172) — so does the
-            # production default here (analysis frozen per candidate-refresh
-            # round; in-round iterations run the fused pair-GN kernel + KKT).
-            degeneracy=DegeneracyConfig(method="equality_constraints"),
+            # OptimizedEqualityConstraints with enoughInformationThreshold
+            # 250 / insufficientInformationThreshold 180; ICP.cpp:2185-2446)
+            # — so does the production default here: binary detection on the
+            # first round, frozen thereafter; in-round iterations run the
+            # fused pair-GN kernel + frozen-direction KKT.
+            degeneracy=DegeneracyConfig(
+                method="optimized",
+                enough_information_threshold=250.0,
+                insufficient_information_threshold=180.0,
+            ),
         )
     )
 
