@@ -180,3 +180,35 @@ def test_tile_partition_reduces_per_device_points(rng):
     assert int(np.asarray(reading_tiles.mask).sum()) == int(np.asarray(reading.mask).sum())
     # Halo: reference tiles may overlap, so total >= N.
     assert int(np.asarray(reference_tiles.mask).sum()) >= int(np.asarray(ref.mask).sum())
+
+
+@pytest.mark.slow
+def test_pose_graph_edge_sharded_pcg_matches_single(rng):
+    """Multi-host PCG pose-graph GN: edges sharded, block diagonal + gradient
+    psummed once per GN iteration and the off-diagonal scatter psummed per
+    matvec — must match the single-device PCG optimization."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from open3d_slam_private_tpu.slam import pose_graph as pg
+    from tests.test_pose_graph import _loop_graph
+
+    graph, _, _ = _loop_graph(24, edge_cap=32, n_loops=2)
+    cfg = pg.PoseGraphConfig(iterations=10, solver="pcg", cg_tol=1e-7, cg_iterations=300)
+    single = pg.optimize(graph, cfg)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("edges",))
+    edge_spec = pg.PoseGraph(
+        poses=P(), node_mask=P(),
+        edge_i=P("edges"), edge_j=P("edges"), edge_T=P("edges"),
+        edge_info=P("edges"), edge_is_loop=P("edges"), edge_mask=P("edges"),
+    )
+
+    @jax.jit
+    @jax.shard_map(mesh=mesh, in_specs=(edge_spec,), out_specs=P(), check_vma=False)
+    def run(g):
+        return pg.optimize(g, cfg, axis_name="edges").poses
+
+    poses_sharded = run(graph)
+    np.testing.assert_allclose(
+        np.asarray(poses_sharded), np.asarray(single.poses), atol=1e-4
+    )
