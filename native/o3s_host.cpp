@@ -232,4 +232,104 @@ int64_t ring_dropped(void* handle) {
   return r->dropped;
 }
 
+// ---------------------------------------------------------------------------
+// LZ4 decompression (rosbag 'lz4' chunk compression; roslz4 writes the
+// standard LZ4 Frame format, magic 0x184D2204). Only decompression is
+// needed (bag READING); checksums are skipped, sizes are validated.
+// ---------------------------------------------------------------------------
+
+// Raw LZ4 block decode. Returns bytes written, or -1 on malformed input /
+// overflow. Reference: the LZ4 block format spec (token = literal|match
+// nibbles, 15 -> extension bytes, little-endian u16 match offset,
+// match length 4 + nibble).
+int64_t lz4_block_decode(const uint8_t* src, int64_t src_len, uint8_t* dst,
+                         int64_t dst_cap) {
+  const uint8_t* ip = src;
+  const uint8_t* const iend = src + src_len;
+  uint8_t* op = dst;
+  uint8_t* const oend = dst + dst_cap;
+
+  while (ip < iend) {
+    const uint8_t token = *ip++;
+    // Literals.
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        lit += b;
+      } while (b == 255);
+    }
+    if (ip + lit > iend || op + lit > oend) return -1;
+    std::memcpy(op, ip, static_cast<size_t>(lit));
+    ip += lit;
+    op += lit;
+    if (ip >= iend) break;  // last sequence has no match
+    // Match.
+    if (ip + 2 > iend) return -1;
+    const int64_t offset = static_cast<int64_t>(ip[0]) | (static_cast<int64_t>(ip[1]) << 8);
+    ip += 2;
+    if (offset == 0 || op - dst < offset) return -1;
+    int64_t mlen = (token & 0x0F);
+    if (mlen == 15) {
+      uint8_t b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        mlen += b;
+      } while (b == 255);
+    }
+    mlen += 4;
+    if (op + mlen > oend) return -1;
+    const uint8_t* match = op - offset;
+    // Overlapping copy must run forward byte-wise.
+    for (int64_t i = 0; i < mlen; ++i) op[i] = match[i];
+    op += mlen;
+  }
+  return op - dst;
+}
+
+// LZ4 Frame decode. Returns bytes written, -1 on malformed input.
+int64_t lz4_frame_decode(const uint8_t* src, int64_t n, uint8_t* dst,
+                         int64_t cap) {
+  const uint8_t* ip = src;
+  const uint8_t* const iend = src + n;
+  if (n < 7) return -1;
+  const uint32_t magic = static_cast<uint32_t>(ip[0]) | (static_cast<uint32_t>(ip[1]) << 8) |
+                         (static_cast<uint32_t>(ip[2]) << 16) | (static_cast<uint32_t>(ip[3]) << 24);
+  if (magic != 0x184D2204u) return -1;
+  ip += 4;
+  const uint8_t flg = *ip++;
+  ip++;  // BD byte (block max size) — not needed for decode
+  if (((flg >> 6) & 0x3) != 1) return -1;  // version must be 01
+  const bool b_checksum = (flg >> 4) & 1;
+  const bool c_size = (flg >> 3) & 1;
+  if (c_size) ip += 8;
+  if (flg & 1) ip += 4;  // DictID
+  ip += 1;               // header checksum
+  uint8_t* op = dst;
+  while (ip + 4 <= iend) {
+    const uint32_t bsz = static_cast<uint32_t>(ip[0]) | (static_cast<uint32_t>(ip[1]) << 8) |
+                         (static_cast<uint32_t>(ip[2]) << 16) | (static_cast<uint32_t>(ip[3]) << 24);
+    ip += 4;
+    if (bsz == 0) return op - dst;  // EndMark
+    const bool raw = bsz & 0x80000000u;
+    const int64_t len = bsz & 0x7FFFFFFFu;
+    if (ip + len > iend) return -1;
+    if (raw) {
+      if (op + len > dst + cap) return -1;
+      std::memcpy(op, ip, static_cast<size_t>(len));
+      op += len;
+    } else {
+      const int64_t w = lz4_block_decode(ip, len, op, cap - (op - dst));
+      if (w < 0) return -1;
+      op += w;
+    }
+    ip += len;
+    if (b_checksum) ip += 4;
+  }
+  return -1;  // missing EndMark
+}
+
 }  // extern "C"

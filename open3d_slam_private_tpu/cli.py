@@ -474,7 +474,12 @@ def _cmd_list_modules(args) -> int:
     )
     print(
         "TransformationCheckers:\n  CounterTransformationChecker\n"
-        "  DifferentialTransformationChecker"
+        "  DifferentialTransformationChecker\n  BoundTransformationChecker"
+    )
+    print(
+        "Transformations:\n  RigidTransformation (se3.orthonormalize_rotation)\n"
+        "  SimilarityTransformation (similarity minimizer)\n"
+        "  PureTranslation (se3.pure_translation_correct/apply_pure_translation)"
     )
     return 0
 

@@ -413,20 +413,56 @@ def icp_config_from_dict(doc: dict, matcher_backend: str = "grid") -> icp_mod.IC
             raise ValueError("force2D cannot be used together with force4DOF")
 
     # readingStepDataPointsFilters (ICP.cpp:1038): applied to the reading
-    # every iteration. The sampling case maps to a per-iteration random
-    # weight mask in the jitted loop; other filters would need per-iteration
-    # geometry rewrites and are rejected explicitly.
+    # every iteration. Mask-safe (point-selecting) filters compose as
+    # per-iteration weight masks in the jitted loop (identical estimator,
+    # fixed shapes); a chain of just one RandomSampling keeps the dedicated
+    # fast path. Descriptor-mutating filters (normals etc.) cannot run
+    # per-iteration in a fixed-shape engine and are rejected explicitly.
+    step_chain = []
     for item in doc.get("readingStepDataPointsFilters", []) or []:
         name, p = _single(item)
         if name == "RandomSamplingDataPointsFilter":
-            kw["reading_step_random_prob"] = float(p.get("prob", 0.75))
+            step_chain.append(("RandomSampling", (("prob", float(p.get("prob", 0.75))),)))
+        elif name == "MaxDistDataPointsFilter":
+            step_chain.append(("MaxDist", (
+                ("dim", int(p.get("dim", -1))),
+                ("dist", float(p.get("maxDist", 1.0))),
+            )))
+        elif name == "MinDistDataPointsFilter":
+            step_chain.append(("MinDist", (
+                ("dim", int(p.get("dim", -1))),
+                ("dist", float(p.get("minDist", 1.0))),
+            )))
+        elif name == "DistanceLimitDataPointsFilter":
+            step_chain.append(("DistanceLimit", (
+                ("dim", int(p.get("dim", -1))),
+                ("dist", float(p.get("dist", 1.0))),
+                ("removeInside", int(p.get("removeInside", 1))),
+            )))
+        elif name == "BoundingBoxDataPointsFilter":
+            step_chain.append(("BoundingBox", tuple(
+                (k, float(p.get(k, d))) for k, d in (
+                    ("xMin", -1.0), ("xMax", 1.0), ("yMin", -1.0),
+                    ("yMax", 1.0), ("zMin", -1.0), ("zMax", 1.0),
+                )) + (("removeInside", int(p.get("removeInside", 1))),),
+            ))
+        elif name == "MaxPointCountDataPointsFilter":
+            step_chain.append(("MaxPointCount", (
+                ("maxCount", int(p.get("maxCount", 1000))),
+            )))
         elif name == "IdentityDataPointsFilter":
             pass
         else:
             raise KeyError(
-                f"unsupported readingStepDataPointsFilter {name} (only "
-                "RandomSampling/Identity run per-iteration in the jitted loop)"
+                f"unsupported readingStepDataPointsFilter {name} (mask-safe "
+                "filters only: RandomSampling/MaxDist/MinDist/DistanceLimit/"
+                "BoundingBox/MaxPointCount/Identity run per-iteration in the "
+                "jitted loop)"
             )
+    if len(step_chain) == 1 and step_chain[0][0] == "RandomSampling":
+        kw["reading_step_random_prob"] = dict(step_chain[0][1])["prob"]
+    elif step_chain:
+        kw["reading_step_filters"] = tuple(step_chain)
 
     # Checkers.
     for item in doc.get("transformationCheckers", []) or []:

@@ -315,3 +315,27 @@ def orthonormalize_rotation(T: jax.Array) -> jax.Array:
     D = jnp.ones(T.shape[:-2] + (3,), dtype=T.dtype).at[..., 2].set(det)
     R_fixed = (U * D[..., None, :]) @ Vt
     return _rt_to_matrix(R_fixed, T[..., :3, 3])
+
+
+def pure_translation_correct(T: jax.Array) -> jax.Array:
+    """``PureTranslation::correctParameters`` (TransformationsImpl.cpp:
+    263-279): identity rotation block, translation kept — the projection
+    onto the pure-translation subgroup."""
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=T.dtype), T.shape)
+    return eye.at[..., :3, 3].set(T[..., :3, 3])
+
+
+def pure_translation_check(T: jax.Array) -> jax.Array:
+    """``PureTranslation::checkParameters`` (TransformationsImpl.cpp:
+    281-300): True iff the rotation block is (approximately) identity."""
+    R = T[..., :3, :3]
+    eye = jnp.eye(3, dtype=T.dtype)
+    return jnp.max(jnp.abs(R - eye), axis=(-2, -1)) < 1e-5
+
+
+def apply_pure_translation(T: jax.Array, points: jax.Array) -> jax.Array:
+    """``PureTranslation::compute`` (TransformationsImpl.cpp:240-260):
+    translate only; the rotation block must be identity (mirror the
+    reference's TransformationError with a debug-checkable mask instead of
+    a throw — jitted code cannot raise)."""
+    return points + T[..., :3, 3]

@@ -118,10 +118,16 @@ def read_bag(path: str) -> Iterator[BagMessage]:
                 chunk = payload
             elif comp == b"bz2":
                 chunk = bz2.decompress(payload)
+            elif comp == b"lz4":
+                # roslz4 writes the standard LZ4 Frame; the chunk header's
+                # 'size' field is the uncompressed size (bag format 2.0).
+                from open3d_slam_private_tpu.native import lz4_frame_decompress
+
+                expected = struct.unpack("<I", hdr[b"size"])[0]
+                chunk = lz4_frame_decompress(payload, expected)
             else:
                 raise NotImplementedError(
-                    f"rosbag chunk compression {comp.decode()!r} unsupported "
-                    "(re-record with --bz2 or uncompressed)"
+                    f"rosbag chunk compression {comp.decode()!r} unsupported"
                 )
             o = 0
             while o < len(chunk):

@@ -72,6 +72,20 @@ class ICPConfig:
     # reference filters before matching; here the drop is applied as a
     # zero weight after matching (identical estimator, fixed shapes).
     reading_step_random_prob: Optional[float] = None
+    # General readingStepDataPointsFilters chain (ICP.cpp:1038): any
+    # mask-safe (point-selecting) filter chain re-applied to the CURRENT
+    # TRANSFORMED reading every iteration, composed as per-point weight
+    # masks (the fixed-shape analogue of the reference's per-iteration
+    # ``stepReading`` rewrite — identical estimator). Hashable static form:
+    # a tuple of (name, ((param, value), ...)) entries; names:
+    # "RandomSampling" {prob}, "MaxDist"/"MinDist" {dim, dist}
+    # (dim -1 = euclidean norm, 0/1/2 = coordinate), "DistanceLimit"
+    # {dim, dist, removeInside}, "BoundingBox" {xMin..zMax, removeInside},
+    # "MaxPointCount" {maxCount} (probabilistic thinning to the target
+    # count). Coordinates are in the mean-centered reference frame, exactly
+    # where the reference applies the chain (stepReading lives in
+    # T_refIn_refMean coordinates, ICP.cpp:1023-1038).
+    reading_step_filters: Optional[tuple] = None
     # 16-byte packed payloads (cell-frame u16 positions + octahedral
     # normals): halves matcher/cache traffic at ~25 um / 1e-4 rad
     # quantization. Exact 32-byte payloads when False.
@@ -206,6 +220,13 @@ class ICPResult:
     # 6x6 covariance of the estimate (Censi-style sensor-noise model reduced
     # to sigma^2 (J^T J)^-1 — the WithCov minimizers' output).
     covariance: jax.Array  # [6, 6]
+    # Matcher quality counter (≙ KDTreeMatcher visit/recall monitoring,
+    # MatchersImpl.cpp): fraction of valid queries whose candidate row was
+    # FULL at the last refresh — the queries whose nearest neighbour could
+    # have been displaced by cell-list capacity pressure. 0 in non-cached /
+    # non-grid chains. Pair with ``CellList.dropped`` (build-time overflow)
+    # for production dense-map recall monitoring.
+    match_row_saturation: jax.Array
 
 
 @jax.tree_util.register_dataclass
@@ -446,6 +467,67 @@ def _solve(
     return x, loc
 
 
+def _reading_step_mask(src, mask, step_it, filters) -> jax.Array:
+    """Per-iteration reading-step filter chain as a [N] keep mask.
+
+    ``src`` is the CURRENT transformed reading (centered reference frame),
+    matching where the reference applies readingStepDataPointsFilters
+    (ICP.cpp:1038). Each filter is (name, ((param, value), ...)).
+    """
+    keep = mask
+    for idx, (name, params) in enumerate(filters):
+        p = dict(params)
+        if name == "RandomSampling":
+            key = jax.random.fold_in(jax.random.PRNGKey(17 + 31 * idx), step_it)
+            keep = keep & (
+                jax.random.uniform(key, (src.shape[0],)) < float(p["prob"])
+            )
+        elif name in ("MaxDist", "MinDist", "DistanceLimit"):
+            # Reference semantics (MaxDist.cpp:77-99): dim -1 compares the
+            # euclidean norm against |dist|; a single axis compares the
+            # SIGNED coordinate against dist (strict inequalities).
+            dim = int(p.get("dim", -1))
+            dist = float(p.get("dist", p.get("maxDist", p.get("minDist", jnp.inf))))
+            if dim < 0:
+                d = jnp.linalg.norm(src, axis=-1)
+                lim = abs(dist)
+            else:
+                d = src[:, dim]
+                lim = dist
+            if name == "MaxDist":
+                inside = d < lim
+            elif name == "MinDist":
+                inside = d > lim
+            else:  # DistanceLimit: removeInside=1 keeps d >= dist
+                inside = d < lim
+                if bool(int(p.get("removeInside", 1))):
+                    inside = ~inside
+            keep = keep & inside
+        elif name == "BoundingBox":
+            lo = jnp.asarray(
+                [float(p.get("xMin", -jnp.inf)), float(p.get("yMin", -jnp.inf)),
+                 float(p.get("zMin", -jnp.inf))], src.dtype)
+            hi = jnp.asarray(
+                [float(p.get("xMax", jnp.inf)), float(p.get("yMax", jnp.inf)),
+                 float(p.get("zMax", jnp.inf))], src.dtype)
+            inside = jnp.all((src >= lo) & (src <= hi), axis=-1)
+            keep = keep & (~inside if bool(int(p.get("removeInside", 1))) else inside)
+        elif name == "MaxPointCount":
+            # Probabilistic thinning to the target count (the reference
+            # shuffles and truncates; a fixed-shape engine thins by the
+            # equivalent keep probability, re-drawn per iteration).
+            target = float(p["maxCount"])
+            n_now = jnp.maximum(jnp.sum(keep.astype(src.dtype)), 1.0)
+            prob = jnp.minimum(target / n_now, 1.0)
+            key = jax.random.fold_in(jax.random.PRNGKey(23 + 31 * idx), step_it)
+            keep = keep & (jax.random.uniform(key, (src.shape[0],)) < prob)
+        elif name == "Identity":
+            pass
+        else:
+            raise ValueError(f"unknown reading-step filter {name!r}")
+    return keep
+
+
 def _strided(batch: PointBatch, stride: int) -> PointBatch:
     """Static strided subsample (smaller capacity => cheaper matching)."""
     return PointBatch(
@@ -503,6 +585,12 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             # deterministic key folded with the iteration counter.
             kkey = jax.random.fold_in(jax.random.PRNGKey(17), step_it)
             keep = jax.random.uniform(kkey, (src.shape[0],)) < cfg.reading_step_random_prob
+            w = w * jnp.repeat(keep, m).astype(w.dtype)
+        if cfg.reading_step_filters is not None and step_it is not None:
+            # General per-iteration reading-step chain (ICP.cpp:1038).
+            keep = _reading_step_mask(
+                src, reading.mask, step_it, cfg.reading_step_filters
+            )
             w = w * jnp.repeat(keep, m).astype(w.dtype)
         src_flat = jnp.repeat(src, m, axis=0)
         pair_mask = res.valid().reshape(-1)
@@ -622,6 +710,8 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
         # Moment-cached rounds: the NEXT round is a fresh-weight
         # re-verification of a convergence reached on stale weights.
         revisit=jnp.asarray(False),
+        # Matcher quality: candidate-row saturation at the last refresh.
+        row_sat=jnp.asarray(0.0, dtype),
     )
 
     def cond(s):
@@ -689,6 +779,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             aborted=aborted,
             A=A_out,
             revisit=s["revisit"],
+            row_sat=s["row_sat"],
             **aa_state,
         )
 
@@ -729,6 +820,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             and cfg.var_trimmed is None
             and cfg.median_factor is None
             and cfg.reading_step_random_prob is None
+            and cfg.reading_step_filters is None
             and (cfg.trimmed_ratio is None or cfg.fast_trimming)
         )
         # Moment rounds re-freeze weights at each refresh: convergence on
@@ -769,6 +861,14 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                     var_md if var_md is not None else cfg.max_match_dist,
                     cfg.knn,
                 )
+
+            # Matcher recall counter: queries whose candidate row is FULL
+            # may have lost a nearer neighbour to capacity pressure
+            # (MatchersImpl.cpp visit-counter analogue). Frozen on `done`
+            # lanes so the reported value is from the last active refresh.
+            full_rows = jnp.sum(valid.astype(dtype), axis=1) >= valid.shape[1]
+            sat = _allsum(jnp.sum((full_rows & reading.mask).astype(dtype))) / n_valid
+            s = dict(s, row_sat=jnp.where(s["done"], s["row_sat"], sat))
 
             # Round-frozen trimming: locate the TrimmedDist threshold once
             # per round from the selection distances (histogram path), so
@@ -882,6 +982,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                 and cfg.normal_angle_max is None
                 and cfg.knn <= 8
                 and cfg.reading_step_random_prob is None
+                and cfg.reading_step_filters is None
                 and cfg.max_residual_dist is None
                 and cfg.min_residual_dist is None
                 and cfg.generic_descriptor is None
@@ -1128,6 +1229,7 @@ def icp_single(
         degenerate=degenerate,
         aborted=final["aborted"],
         covariance=cov,
+        match_row_saturation=final["row_sat"],
     )
 
 

@@ -90,22 +90,44 @@ def dump_trace(
     out_dir: str,
     every: int = 1,
     max_points: int = 20000,
+    fmt: str = "ply",
+    binary: bool = False,
 ) -> str:
     """Write per-iteration reading clouds (posed) + reference + stats JSON
-    (≙ VTKFileInspector's dumpIteration). Returns the stats path."""
+    (≙ VTKFileInspector's dumpIteration). Returns the stats path.
+
+    ``fmt="vtk"`` writes the series as legacy VTK polydata files named like
+    the reference's VTKFileInspector output
+    (``point_cloud-reading-<iter>.vtk`` / ``point_cloud-reference.vtk``,
+    InspectorsImpl.cpp openStream naming) — loadable by ParaView and the
+    reference's own tooling; ``binary=True`` uses big-endian binary VTK.
+    """
     from open3d_slam_private_tpu.io import save_ply
+    from open3d_slam_private_tpu.io.pointcloud_io import save_vtk
 
     os.makedirs(out_dir, exist_ok=True)
     mask = np.asarray(reading.mask)
     pts = np.asarray(reading.xyz)[mask][:max_points]
     ref_mask = np.asarray(ref.cloud.mask)
     ref_pts = (np.asarray(ref.cloud.xyz) + np.asarray(ref.centroid))[ref_mask][:max_points]
-    save_ply(os.path.join(out_dir, "reference.ply"), ref_pts)
+
+    if fmt == "vtk":
+        save_vtk(os.path.join(out_dir, "point_cloud-reference.vtk"), ref_pts, binary=binary)
+    elif fmt == "ply":
+        save_ply(os.path.join(out_dir, "reference.ply"), ref_pts)
+    else:
+        raise ValueError(f"unknown inspector dump format {fmt!r} (ply|vtk)")
 
     Ts = np.asarray(trace.transforms)
     for i in range(0, len(Ts), every):
-        posed = pts @ Ts[i][:3, :3].T + Ts[i][:3, 3]
-        save_ply(os.path.join(out_dir, f"reading_iter_{i:03d}.ply"), posed.astype(np.float32))
+        posed = (pts @ Ts[i][:3, :3].T + Ts[i][:3, 3]).astype(np.float32)
+        if fmt == "vtk":
+            save_vtk(
+                os.path.join(out_dir, f"point_cloud-reading-{i}.vtk"),
+                posed, binary=binary,
+            )
+        else:
+            save_ply(os.path.join(out_dir, f"reading_iter_{i:03d}.ply"), posed)
 
     stats = {
         "iterations": int(len(Ts)),

@@ -76,6 +76,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ring_count.argtypes = [ctypes.c_void_p]
         lib.ring_dropped.restype = ctypes.c_int64
         lib.ring_dropped.argtypes = [ctypes.c_void_p]
+        lib.lz4_frame_decode.restype = ctypes.c_int64
+        lib.lz4_frame_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -239,3 +244,86 @@ class ScanRing:
                 self._lib.ring_destroy(self._h)
             except Exception:
                 pass
+
+
+def lz4_frame_decompress(data: bytes, expected_size: int) -> bytes:
+    """Decompress an LZ4 Frame (magic 0x184D2204 — rosbag 'lz4' chunks,
+    roslz4's format). Uses the native decoder when built, else a pure-Python
+    fallback (same format, ~MB/s). Raises ValueError on malformed input."""
+    lib = _load()
+    if lib is not None:
+        src = np.frombuffer(data, np.uint8)
+        dst = np.empty(expected_size, np.uint8)
+        n = lib.lz4_frame_decode(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(src),
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(dst),
+        )
+        if n < 0:
+            raise ValueError("malformed LZ4 frame")
+        return dst[:n].tobytes()
+    return _lz4_frame_decode_py(data, expected_size)
+
+
+def _lz4_block_decode_py(src: bytes, dst: bytearray) -> None:
+    ip, n = 0, len(src)
+    while ip < n:
+        token = src[ip]; ip += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[ip]; ip += 1
+                lit += b
+                if b != 255:
+                    break
+        dst += src[ip:ip + lit]
+        ip += lit
+        if ip >= n:
+            break
+        offset = src[ip] | (src[ip + 1] << 8); ip += 2
+        if offset == 0 or offset > len(dst):
+            raise ValueError("malformed LZ4 block")
+        mlen = token & 0x0F
+        if mlen == 15:
+            while True:
+                b = src[ip]; ip += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        if offset >= mlen:
+            start = len(dst) - offset
+            dst += dst[start:start + mlen]
+        else:  # overlapping match: byte-wise forward copy
+            for _ in range(mlen):
+                dst.append(dst[-offset])
+
+
+def _lz4_frame_decode_py(data: bytes, expected_size: int) -> bytes:
+    import struct as _struct
+
+    if len(data) < 7 or _struct.unpack("<I", data[:4])[0] != 0x184D2204:
+        raise ValueError("not an LZ4 frame")
+    ip = 4
+    flg = data[ip]; ip += 2  # FLG + BD
+    if ((flg >> 6) & 0x3) != 1:
+        raise ValueError("unsupported LZ4 frame version")
+    b_checksum = (flg >> 4) & 1
+    if (flg >> 3) & 1:
+        ip += 8  # content size
+    if flg & 1:
+        ip += 4  # dict id
+    ip += 1  # header checksum
+    out = bytearray()
+    while ip + 4 <= len(data):
+        bsz = _struct.unpack("<I", data[ip:ip + 4])[0]; ip += 4
+        if bsz == 0:
+            return bytes(out)
+        length = bsz & 0x7FFFFFFF
+        block = data[ip:ip + length]; ip += length
+        if bsz & 0x80000000:
+            out += block
+        else:
+            _lz4_block_decode_py(block, out)
+        if b_checksum:
+            ip += 4
+    raise ValueError("LZ4 frame missing EndMark")

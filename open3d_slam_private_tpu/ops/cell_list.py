@@ -39,10 +39,20 @@ _PAD = 1.0e9
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class CellList:
-    """``table [T, C, 8]`` payload lists; ``cell_size`` = search radius."""
+    """``table [T, C, 8]`` payload lists; ``cell_size`` = search radius.
+
+    ``dropped``: build-time overflow counter — the number of eligible
+    (cell, point) pairs that did not fit in ``list_cap`` (distance-gated,
+    so near-the-cell-center candidates always win; ≙ the recall monitoring
+    the reference gets from KDTreeMatcher's visit counters). 0 means the
+    lists are exact within the build radius.
+    """
 
     table: jax.Array
     cell_size: jax.Array
+    dropped: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
 
     @property
     def list_cap(self) -> int:
@@ -128,9 +138,11 @@ def build_cell_list(
     )
     table = jnp.broadcast_to(empty, (table_size * list_cap + 1, _CH))
     table = table.at[slot].set(payload, mode="drop")
+    dropped = jnp.sum(((s_h < table_size) & (rank >= list_cap)).astype(jnp.int32))
     return CellList(
         table=table[:-1].reshape(table_size, list_cap, _CH),
         cell_size=radius,
+        dropped=dropped,
     )
 
 
@@ -292,9 +304,11 @@ def build_cell_list_packed(
     empty = jnp.asarray([0, 0, INVALID_ID, 0], jnp.int32)
     table = jnp.broadcast_to(empty, (table_size * list_cap + 1, _CHP))
     table = table.at[slot].set(payload[order], mode="drop")
+    dropped = jnp.sum(((s_h < table_size) & (rank >= list_cap)).astype(jnp.int32))
     return CellList(
         table=table[:-1].reshape(table_size, list_cap, _CHP),
         cell_size=radius,
+        dropped=dropped,
     )
 
 

@@ -250,5 +250,5 @@ def _result_structure():
         transform=z, iterations=z, converged=z, match_ratio=z,
         overlap_ratio=z, residual=z, eigenvalues=z, condition_number=z,
         localizability_rot=z, localizability_trans=z, degenerate=z, aborted=z,
-        covariance=z,
+        covariance=z, match_row_saturation=z,
     )

@@ -2,6 +2,7 @@
 
 import bz2
 import struct
+import pytest
 
 import numpy as np
 
@@ -149,3 +150,60 @@ def test_bag_topic_filter_and_bad_magic(tmp_path, rng):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "not a rosbag" in str(e)
+
+
+# ---------------------------------------------------------------------------
+# LZ4 chunks (roslz4 writes the standard LZ4 Frame format).
+# ---------------------------------------------------------------------------
+
+def _lz4_frame_store(data: bytes) -> bytes:
+    """Minimal valid LZ4 frame: one uncompressed (high-bit) block."""
+    out = struct.pack("<I", 0x184D2204) + bytes([0x40, 0x70, 0x00])
+    out += struct.pack("<I", 0x80000000 | len(data)) + data
+    out += struct.pack("<I", 0)
+    return out
+
+
+def test_lz4_frame_and_block_decode():
+    from open3d_slam_private_tpu import native as nat
+
+    # Hand-crafted compressed block: token(lit=4, match=8) + "abcd" +
+    # offset 4 -> "abcdabcdabcd", then a literal-only tail "WXYZ".
+    blk = bytes([0x44]) + b"abcd" + b"\x04\x00" + bytes([0x40]) + b"WXYZ"
+    expect = b"abcdabcdabcd" + b"WXYZ"
+    frame = (struct.pack("<I", 0x184D2204) + bytes([0x40, 0x70, 0x00])
+             + struct.pack("<I", len(blk)) + blk + struct.pack("<I", 0))
+    assert nat.lz4_frame_decompress(frame, len(expect)) == expect
+    assert nat._lz4_frame_decode_py(frame, len(expect)) == expect
+
+    # Overlapping match (offset 1, RLE): token(lit=1, match=15) -> 'x'*16.
+    blk2 = bytes([0x1B]) + b"x" + b"\x01\x00"
+    frame2 = (struct.pack("<I", 0x184D2204) + bytes([0x40, 0x70, 0x00])
+              + struct.pack("<I", len(blk2)) + blk2 + struct.pack("<I", 0))
+    assert nat.lz4_frame_decompress(frame2, 16) == b"x" * 16
+    assert nat._lz4_frame_decode_py(frame2, 16) == b"x" * 16
+
+    # Uncompressed-block frame round trip.
+    data = bytes(range(256)) * 7
+    assert nat.lz4_frame_decompress(_lz4_frame_store(data), len(data)) == data
+
+    # Malformed input raises.
+    with pytest.raises(ValueError):
+        nat.lz4_frame_decompress(b"\x00\x01\x02\x03\x04\x05\x06\x07", 8)
+
+
+def test_bag_lz4_chunks(tmp_path, rng):
+    path = str(tmp_path / "t_lz4.bag")
+    records = [
+        _conn_record(0, "/points", "sensor_msgs/PointCloud2"),
+    ]
+    pts = rng.uniform(-2, 2, size=(50, 3)).astype(np.float32)
+    records.append(_msg_record(0, 1, 500, _pointcloud2_raw(pts, sec=1)))
+    chunk = b"".join(records)
+    hdr = _hdr(op=b"\x05", compression=b"lz4",
+               size=struct.pack("<I", len(chunk)))
+    with open(path, "wb") as f:
+        f.write(b"#ROSBAG V2.0\n")
+        f.write(_rec(hdr, _lz4_frame_store(chunk)))
+    msgs = list(rosbag.read_bag(path))
+    assert sum(m.datatype == "sensor_msgs/PointCloud2" for m in msgs) == 1

@@ -135,3 +135,18 @@ def test_jit_and_vmap_compose():
     f = jax.jit(jax.vmap(lambda t: se3.log_se3(se3.exp_se3(t))))
     x = jnp.ones((4, 6)) * 0.1
     np.testing.assert_allclose(np.asarray(f(x)), np.asarray(x), atol=1e-5)
+
+
+def test_pure_translation():
+    """PureTranslation transformation (TransformationsImpl.cpp:240-300):
+    correctParameters projects to identity-rotation, check flags non-pure
+    inputs, compute translates only."""
+    T = np.asarray(se3.exp_se3(jnp.asarray([0.3, -0.2, 0.1, 1.0, 2.0, -3.0])))
+    Tc = np.asarray(se3.pure_translation_correct(jnp.asarray(T)))
+    np.testing.assert_allclose(Tc[:3, :3], np.eye(3), atol=1e-7)
+    np.testing.assert_allclose(Tc[:3, 3], T[:3, 3], atol=1e-7)
+    assert not bool(se3.pure_translation_check(jnp.asarray(T)))
+    assert bool(se3.pure_translation_check(jnp.asarray(Tc)))
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(16, 3)).astype(np.float32))
+    out = se3.apply_pure_translation(jnp.asarray(Tc), pts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pts) + T[:3, 3], atol=1e-6)
