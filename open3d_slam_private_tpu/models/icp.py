@@ -1004,14 +1004,23 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             if fused_ok:
                 from open3d_slam_private_tpu.kernels import pair_gn_pallas as pgk
 
-                soa = pgk.prepare_pairs(
-                    reading.xyz, res0.xyz, res0.normals, pair_ok
-                )
+                # knn=1 (the production chain): folded dense layout, 40 B/pt
+                # per iteration instead of the 8-sublane-padded 256 B/pt.
+                folded = cfg.knn == 1
+                if folded:
+                    soa = pgk.prepare_pairs_folded(
+                        reading.xyz, res0.xyz, res0.normals, pair_ok
+                    )
+                else:
+                    soa = pgk.prepare_pairs(
+                        reading.xyz, res0.xyz, res0.normals, pair_ok
+                    )
                 tau = trim_limit if trim_limit is not None else jnp.inf
                 denom = n_valid * cfg.knn
 
                 def fused_step(T):
-                    A, b, sw, swr2, nok = pgk.pair_gn_step(
+                    step_fn = pgk.pair_gn_step_folded if folded else pgk.pair_gn_step
+                    A, b, sw, swr2, nok = step_fn(
                         soa, T, tau, max_d2,
                         interpret=jax.default_backend() != "tpu",
                     )

@@ -169,3 +169,28 @@ def test_fused_xicp_matches_xla_path(rng):
     np.testing.assert_array_equal(
         np.asarray(r_f.localizability_trans), np.asarray(r_u.localizability_trans)
     )
+
+
+def test_folded_kernel_matches_padded(rng):
+    """knn=1 folded layout (dense [8, N/8] streams) must produce the same
+    sums as the padded pair-major kernel and the XLA path."""
+    from open3d_slam_private_tpu.kernels.pair_gn_pallas import (
+        pair_gn_step, pair_gn_step_folded, prepare_pairs, prepare_pairs_folded,
+    )
+
+    reading, q, nrm, valid, T = _setup(rng, n=900, k=1)
+    max_d2 = 0.5**2
+    tau = 0.03
+    soa_p = prepare_pairs(jnp.asarray(reading), jnp.asarray(q),
+                          jnp.asarray(nrm), jnp.asarray(valid), tile=256)
+    soa_f = prepare_pairs_folded(jnp.asarray(reading), jnp.asarray(q),
+                                 jnp.asarray(nrm), jnp.asarray(valid), tile=128)
+    A_p, b_p, sw_p, swr2_p, nok_p = pair_gn_step(
+        soa_p, jnp.asarray(T), tau, max_d2, tile=256, interpret=True)
+    A_f, b_f, sw_f, swr2_f, nok_f = pair_gn_step_folded(
+        soa_f, jnp.asarray(T), tau, max_d2, tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(A_f), np.asarray(A_p), rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(b_f), np.asarray(b_p), rtol=2e-5, atol=2e-4)
+    assert float(sw_f) == pytest.approx(float(sw_p), rel=1e-6)
+    assert float(swr2_f) == pytest.approx(float(swr2_p), rel=1e-4)
+    assert float(nok_f) == pytest.approx(float(nok_p), rel=1e-6)
