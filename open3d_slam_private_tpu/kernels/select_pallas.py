@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from open3d_slam_private_tpu.ops.knn import INVALID_ID, INF
 
 _CH = 8
+_OUT = 16  # output lanes: x,y,z,id_bits,nx,ny,nz,d2,occupancy,7 spare
 _Q = 512  # queries per tile: [512, 384] f32 = 786 KB VMEM per input block
 
 
@@ -98,11 +99,17 @@ def _kernel(rows_ref, q_ref, G_ref, E_ref, H_ref, out_ref):
     rows_i = jax.lax.bitcast_convert_type(rows, jnp.int32)
     idm = (ch == 3) & (pickexp > 0.5)
     sel_id = jnp.sum(jnp.where(idm, rows_i, 0), axis=-1, keepdims=True)  # [Q, 1]
+    # Candidate-row occupancy (matcher saturation counter): payload slots
+    # are empty iff their x channel carries the 1e9 PAD marker.
+    occ = jnp.sum(jnp.where((ch == 0) & (rows < 1e8), 1.0, 0.0), axis=-1,
+                  keepdims=True)  # [Q, 1]
 
-    out = sel
-    out = jnp.where(jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) == 3,
+    out = jnp.pad(sel, ((0, 0), (0, _OUT - _CH)))
+    olane = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+    out = jnp.where(olane == 3,
                     jax.lax.bitcast_convert_type(sel_id, jnp.float32), out)
-    out = jnp.where(jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) == 7, bd, out)
+    out = jnp.where(olane == 7, bd, out)
+    out = jnp.where(olane == 8, occ, out)
     out_ref[:] = out
 
 
@@ -111,8 +118,9 @@ def rank_select_rows(rows_flat, query_xyz, query_mask, interpret: bool = False):
     """Rank gathered candidate rows and select the knn=1 winner per query.
 
     rows_flat: [N, cap * 8] gathered cell-list rows (flat channel layout).
-    Returns [N, 8]: x, y, z, id_bits(f32-bitcast int32), nx, ny, nz, d2 —
-    d2 = +inf where no valid candidate (or masked query).
+    Returns [N, 16]: x, y, z, id_bits(f32-bitcast int32), nx, ny, nz, d2,
+    occupancy(candidates present in the row), 7 spare — d2 = +inf where no
+    valid candidate (or masked query).
     """
     n, L = rows_flat.shape
     cap = L // _CH
@@ -138,8 +146,8 @@ def rank_select_rows(rows_flat, query_xyz, query_mask, interpret: bool = False):
             pl.BlockSpec((cap, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, _CH), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_Q, _CH), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad, _CH), jnp.float32),
+        out_specs=pl.BlockSpec((_Q, _OUT), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, _OUT), jnp.float32),
         interpret=interpret,
     )(rows_flat, q8, jnp.asarray(G), jnp.asarray(E), jnp.asarray(H))
     return out[:n]

@@ -174,6 +174,17 @@ class ICPConfig:
     # other configs silently use the XLA path.
     fused_kernel: bool = False
 
+    # Pallas rank+select kernel for the per-round correspondence selection
+    # (knn=1, unpacked grid matcher, scalar radius): the XLA gather feeds
+    # ONE streaming kernel that ranks all candidates and emits only the
+    # winner row per query (kernels/select_pallas.py) instead of
+    # re-streaming the [N, cap, 8] candidate tensor through the
+    # 8-lane-layout match/top-k passes. Winner parity with
+    # match_from_candidates up to f32-accumulation ties (~1e-3 of picks on
+    # voxelized maps, both candidates equidistant to f32). Off-TPU falls
+    # back to the XLA path unless O3S_FUSED_INTERPRET=1.
+    select_kernel: bool = False
+
     # Moment-cached GN rounds (GICP): with pairs, weights and the per-pair
     # GICP precisions M frozen per refresh round, A(T) and b(T) are exact
     # contractions of round-start second-order moment tensors with (R, t) —
@@ -837,9 +848,37 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             var_md[:, None] ** 2 if var_md is not None else cfg.max_match_dist**2
         )
 
+        select_kernel_ok = (
+            cfg.select_kernel
+            and cfg.matcher == "grid"
+            and not cfg.packed_payload
+            and cfg.knn == 1
+            and var_md is None
+            and (
+                jax.default_backend() == "tpu"
+                or bool(int(os.environ.get("O3S_FUSED_INTERPRET", "0")))
+            )
+        )
+
         def round_body(s):
             src0 = se3.apply_transform(s["T"], reading.xyz)
-            if cfg.packed_payload:
+            if select_kernel_ok:
+                from open3d_slam_private_tpu.kernels import select_pallas as selk
+
+                flat = ref.grid.table.reshape(ref.grid.table_size, -1)
+                cellq = jnp.floor(src0 / ref.grid.cell_size).astype(jnp.int32)
+                hh = grid_mod._cell_hash(cellq, ref.grid.table_size)
+                sel = selk.rank_select_rows(
+                    flat[hh], src0, reading.mask,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                res0 = selk.match_result_from_selected(
+                    sel, reading.mask, cfg.max_match_dist**2
+                )
+                full_rows = sel[:, 8] >= ref.grid.list_cap
+                sat = _allsum(jnp.sum((full_rows & reading.mask).astype(dtype))) / n_valid
+                s = dict(s, row_sat=jnp.where(s["done"], s["row_sat"], sat))
+            elif cfg.packed_payload:
                 rows, valid, org = cell_mod.gather_packed_candidates(
                     ref.grid, src0, reading.mask
                 )
@@ -862,13 +901,15 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                     cfg.knn,
                 )
 
-            # Matcher recall counter: queries whose candidate row is FULL
-            # may have lost a nearer neighbour to capacity pressure
-            # (MatchersImpl.cpp visit-counter analogue). Frozen on `done`
-            # lanes so the reported value is from the last active refresh.
-            full_rows = jnp.sum(valid.astype(dtype), axis=1) >= valid.shape[1]
-            sat = _allsum(jnp.sum((full_rows & reading.mask).astype(dtype))) / n_valid
-            s = dict(s, row_sat=jnp.where(s["done"], s["row_sat"], sat))
+            if not select_kernel_ok:
+                # Matcher recall counter: queries whose candidate row is FULL
+                # may have lost a nearer neighbour to capacity pressure
+                # (MatchersImpl.cpp visit-counter analogue). Frozen on `done`
+                # lanes so the value is from the last active refresh. (The
+                # select kernel emits its occupancy slot instead, above.)
+                full_rows = jnp.sum(valid.astype(dtype), axis=1) >= valid.shape[1]
+                sat = _allsum(jnp.sum((full_rows & reading.mask).astype(dtype))) / n_valid
+                s = dict(s, row_sat=jnp.where(s["done"], s["row_sat"], sat))
 
             # Round-frozen trimming: locate the TrimmedDist threshold once
             # per round from the selection distances (histogram path), so

@@ -1,0 +1,97 @@
+"""Pallas rank+select kernel vs the XLA match path (interpret mode)."""
+
+import os
+
+os.environ.setdefault("O3S_FUSED_INTERPRET", "1")
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from open3d_slam_private_tpu.geometry import se3
+from open3d_slam_private_tpu.kernels import select_pallas as selk
+from open3d_slam_private_tpu.models import icp as icp_mod
+from open3d_slam_private_tpu.ops import cell_list as cell_mod
+from open3d_slam_private_tpu.ops import grid_hash as grid_mod
+from open3d_slam_private_tpu.ops import normals as normals_mod
+from open3d_slam_private_tpu.ops import pointcloud as pc
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1)
+
+
+def _scene(rng, n=6000):
+    floor = np.c_[rng.uniform(-8, 8, (n // 2, 2)), 0.01 * rng.normal(size=(n // 2, 1))]
+    wx = np.c_[np.full((n // 4, 1), 5.0), rng.uniform(-8, 8, (n // 4, 1)),
+               rng.uniform(0, 3, (n // 4, 1))]
+    wy = np.c_[rng.uniform(-8, 8, (n // 4, 1)), np.full((n // 4, 1), -4.0),
+               rng.uniform(0, 3, (n // 4, 1))]
+    s = np.vstack([floor, wx, wy]).astype(np.float32)
+    return s + 0.004 * rng.normal(size=s.shape).astype(np.float32)
+
+
+def test_rank_select_matches_match_from_candidates(rng):
+    scene = _scene(rng)
+    ref_b = pc.from_points(scene, capacity=8192)
+    g = grid_mod.build_grid(ref_b.padded_xyz(), ref_b.mask, 1.0, 1 << 12, 32)
+    ref_b = normals_mod.estimate_normals_grid(ref_b, g, knn=8, max_dist=1.0)
+    cl = cell_mod.build_cell_list(
+        ref_b.padded_xyz(), ref_b.mask, 0.5, table_size=1 << 12, list_cap=24,
+        normals=ref_b.normals)
+    q = jnp.asarray(scene[:1500] + 0.05 * rng.normal(size=(1500, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=(1500,)) > 0.05)
+
+    rows, valid = cell_mod.gather_cell_candidates(cl, q, mask)
+    want = grid_mod.match_from_candidates(rows, valid, q, mask, 0.5, 1)
+
+    flat = cl.table.reshape(cl.table_size, -1)
+    cellq = jnp.floor(q / cl.cell_size).astype(jnp.int32)
+    h = grid_mod._cell_hash(cellq, cl.table_size)
+    sel = selk.rank_select_rows(flat[h], q, mask, interpret=True)
+    got = selk.match_result_from_selected(sel, mask, 0.25)
+
+    agree = float(np.mean(np.asarray(got.ids) == np.asarray(want.ids)))
+    assert agree > 0.999
+    same = np.asarray(got.ids == want.ids)[:, 0]
+    np.testing.assert_allclose(np.asarray(got.xyz)[same], np.asarray(want.xyz)[same],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.normals)[same],
+                               np.asarray(want.normals)[same], atol=1e-6)
+    d_g, d_w = np.asarray(got.dists)[same], np.asarray(want.dists)[same]
+    fin = np.isfinite(d_w)
+    np.testing.assert_allclose(d_g[fin], d_w[fin], rtol=1e-4, atol=1e-7)
+    # Occupancy slot: row candidate counts, bounded by cap.
+    occ = np.asarray(sel[:, 8])
+    assert occ.max() <= 24 and occ.min() >= 0
+
+
+def test_chain_select_kernel_matches_xla_path(rng):
+    scene = _scene(rng)
+    ref_b = pc.from_points(scene, capacity=8192)
+    g = grid_mod.build_grid(ref_b.padded_xyz(), ref_b.mask, 1.0, 1 << 12, 32)
+    ref_b = normals_mod.estimate_normals_grid(ref_b, g, knn=8, max_dist=1.0)
+    T_true = np.asarray(se3.exp_se3(jnp.asarray(
+        [0.008, -0.005, 0.01, 0.04, -0.03, 0.02], jnp.float32)))
+    moved = (scene[:3000] @ T_true[:3, :3].T + T_true[:3, 3]).astype(np.float32)
+    reading = pc.from_points(moved, capacity=4096)
+
+    base = icp_mod.ICPConfig(
+        knn=1, max_match_dist=0.5, matcher="grid", grid_table_size=1 << 12,
+        grid_bucket_cap=24, trimmed_ratio=0.9, fast_trimming=True,
+        minimizer="point_to_plane", max_iterations=10,
+        candidate_refresh_every=5, candidate_slack=0.25, moment_cached=False,
+    )
+    res_x = icp_mod.register_pair(reading, ref_b, jnp.eye(4), base)
+    res_k = icp_mod.register_pair(
+        reading, ref_b, jnp.eye(4),
+        dataclasses.replace(base, select_kernel=True))
+    T_x, T_k = np.asarray(res_x.transform), np.asarray(res_k.transform)
+    delta = np.linalg.inv(T_k) @ T_x
+    assert np.linalg.norm(delta[:3, 3]) < 1e-4
+    err = T_k @ T_true
+    assert np.linalg.norm(err[:3, 3]) < 5e-2  # scene-bound; parity above is the real check
+    assert np.isfinite(float(res_k.match_row_saturation))
