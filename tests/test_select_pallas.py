@@ -69,6 +69,12 @@ def test_rank_select_matches_match_from_candidates(rng):
     assert occ.max() <= 24 and occ.min() >= 0
 
 
+@pytest.mark.skipif(
+    __import__("jax").default_backend() == "tpu",
+    reason="opt-in kernel, exercised in interpret mode only: running it on "
+    "the shared relay chip has wedged the device (see BASELINE.md round-3 "
+    "negative results); covered on the CPU suite",
+)
 def test_chain_select_kernel_matches_xla_path(rng):
     scene = _scene(rng)
     ref_b = pc.from_points(scene, capacity=8192)
