@@ -477,7 +477,7 @@ def main():
         @jax.jit
         def chain_round(reads, reference, Ts):
             res = jax.vmap(lambda r, T: icp_mod.icp_single(r, reference, T, cfg))(reads, Ts)
-            return res.transform @ perturb, res.iterations
+            return res.transform @ perturb, res.iterations, res.match_row_saturation
 
         return chain_round
 
@@ -556,14 +556,14 @@ def main():
         reference = ref if reference is None else reference
         inits = init_Ts if inits is None else inits
         truths = T_trues if truths is None else truths
-        warm, _ = chain_round(reads, reference, inits)
+        warm, _, _ = chain_round(reads, reference, inits)
         sync(warm)
 
         def once(prev):
             Ts_in = warm if prev is None else prev[0]
             return chain_round(reads, reference, Ts_in)
 
-        med, iqr, (Ts, iters) = timed_median(
+        med, iqr, (Ts, iters, row_sat) = timed_median(
             once, lambda o: sync(o[0]), rt, reps=5, inner=ROUNDS
         )
         out = np.asarray(Ts @ jnp.linalg.inv(perturb))
@@ -578,6 +578,7 @@ def main():
             mean_iters=float(np.mean(np.asarray(iters))),
             max_trans_err_m=float(np.max(errs_t)),
             max_rot_err_rad=float(np.max(errs_r)),
+            row_saturation=float(np.mean(np.asarray(row_sat))),
         )
 
     xicp = measure(chain_xicp)
@@ -720,6 +721,7 @@ def main():
                     "light_max_trans_err_m": round(light["max_trans_err_m"], 5),
                     "light_max_rot_err_rad": round(light["max_rot_err_rad"], 6),
                     "mean_iterations": round(xicp["mean_iters"], 1),
+                    "matcher_row_saturation": round(xicp["row_saturation"], 3),
                     "workload": "noise 1.5cm, 240deg wedge, 3% clutter, 0.1m/1.2deg prior error",
                     "roofline": roofline,
                     "measurement": "median of 5 reps per section; IQR reported",
