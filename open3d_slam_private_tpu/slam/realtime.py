@@ -1,0 +1,785 @@
+"""Real-time SLAM orchestration — the concurrent ``SlamWrapper`` analogue.
+
+The offline :class:`~open3d_slam_private_tpu.slam.pipeline.SlamPipeline` is
+the deterministic correctness harness (≙ the reference's single-stepped
+rosbag replay). THIS module is the analogue of the reference's *online*
+mode — the 4-7 worker threads over bounded queues that sustain sensor rate
+(``SlamWrapper.cpp:554-1053``) — re-designed for a TPU behind a high-latency
+host<->device link:
+
+- **One fused jitted step per scan** (:func:`rt_step`): motion compensation,
+  odometry registration, scan-to-map X-ICP, the conditional reference
+  rebuild, and the gated submap insert (+ optional carving and dense-map
+  aggregation) all execute in a single device program over device-resident
+  state. Every per-scan decision the offline pipeline makes on host
+  (fitness gate, return-prior, min-movement insertion gating,
+  reinit cadence) runs on device via ``where``/``lax.cond``.
+- **Zero blocking readbacks on the mapping critical path**: dispatch is
+  asynchronous; each step returns a packed per-frame stats vector whose
+  device handle is queued and fetched in batches every ``poll_every``
+  frames (one round-trip amortized over N scans). The offline pipeline's
+  ~16 blocking round-trips per scan (the round-3 bottleneck: 447 ms p50
+  against a 4.9 ms registration) become ~1/poll_every.
+- **Loop closure off the critical path** (≙ ``loopClosureWorker``,
+  ``SlamWrapper.cpp:1011-1053``): finished submaps are queued to a worker
+  thread that runs place recognition + pose-graph optimization; the
+  resulting pose increment is applied to the live device state at the next
+  dispatch boundary (≙ ``updateSubmapsAndTrajectory`` consuming
+  ``isOptimizedGraphAvailable_`` on the mapping thread,
+  ``SlamWrapper.cpp:949-961``).
+
+Submap lifecycle decisions (creation / activation / force-new) are host
+logic evaluated at poll boundaries from the polled stats — they take effect
+up to ``poll_every`` frames after their trigger condition, the bounded
+staleness this design trades for sensor-rate throughput (the reference's
+worker queues introduce the same kind of latency between the mapping and
+loop-closure views of the collection).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import queue
+import threading
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from open3d_slam_private_tpu.geometry import se3
+from open3d_slam_private_tpu.models import icp as icp_mod
+from open3d_slam_private_tpu.ops import pointcloud as pc
+from open3d_slam_private_tpu.slam import dense_map as dense_map_mod
+from open3d_slam_private_tpu.slam import motion_compensation as mc_mod
+from open3d_slam_private_tpu.slam import place_recognition as pr
+from open3d_slam_private_tpu.slam import pose_graph as pg
+from open3d_slam_private_tpu.slam import submap as submap_mod
+from open3d_slam_private_tpu.slam.imu import ImuBuffer
+from open3d_slam_private_tpu.slam.mapper import (
+    build_map_reference,
+    process_scan_for_matching,
+)
+from open3d_slam_private_tpu.slam import odometry as odo_mod
+from open3d_slam_private_tpu.slam.pipeline import SlamConfig
+from open3d_slam_private_tpu.slam.submap_collection import (
+    SubmapCollection,
+    SubmapEntry,
+)
+
+# Packed per-frame stats vector layout (float32). One vector per rt_step;
+# the host fetches them in stacked batches — the deferred-readback channel.
+IDX_POSE = slice(0, 16)  # row-major 4x4 map->sensor pose
+IDX_CONVERGED = 16
+IDX_INSERTED = 17
+IDX_DEGENERATE = 18
+IDX_OVERLAP = 19
+IDX_ITERATIONS = 20
+IDX_OCCUPANCY = 21  # valid points in the active bank AFTER this step
+IDX_ODOM_OK = 22  # odometry fitness gate passed
+IDX_USE_PRIOR = 23  # registration rejected -> odometry prior kept
+IDX_RESIDUAL = 24
+IDX_ROW_SAT = 25  # matcher candidate-row saturation (recall monitor)
+IDX_REBUILT = 26  # reference rebuild ran this step
+IDX_CARVED = 27
+STATS_LEN = 28
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RtState:
+    """Device-resident per-scan SLAM state (one pytree, fixed shapes)."""
+
+    odom_prev: pc.PointBatch  # previous preprocessed scan (odometry ref)
+    last_motion: jax.Array  # [4,4] last scan-to-scan odometry motion
+    map_pose: jax.Array  # [4,4] map -> range sensor (latest registered)
+    ref: icp_mod.ICPReference  # active scan-to-map registration reference
+    scans_since_reinit: jax.Array  # int32
+    last_insert_pos: jax.Array  # [3]
+    bank: submap_mod.SubmapState  # ACTIVE submap bank
+    scans_in_active: jax.Array  # int32 (carve cadence counter)
+    dense: Optional[dense_map_mod.DenseMapState]  # None when disabled
+
+
+def _empty_odom_prev(cfg: SlamConfig) -> pc.PointBatch:
+    cap = cfg.odometry.max_points if not cfg.use_external_odometry else 8
+    b = pc.from_points(np.zeros((0, 3), np.float32), capacity=cap)
+    # Odometry preprocess adds normals; keep the pytree structure identical.
+    return b.with_extras(normals=jnp.zeros((cap, 3), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def rt_init(scan: pc.PointBatch, map_pose: jax.Array, cfg: SlamConfig):
+    """First-scan initialization: insert into a fresh bank, build the
+    registration reference, seed the odometry state. Returns RtState."""
+    mcfg = cfg.mapper
+    proc = process_scan_for_matching(scan, mcfg)
+    bank = submap_mod.create(cfg.submaps.submap_capacity)
+    bank = submap_mod.insert_scan(
+        bank, proc, map_pose,
+        cfg.submaps.submap_voxel_size, cfg.submaps.submap_crop_radius,
+    )
+    ref = build_map_reference(bank.cloud, map_pose[:3, 3], mcfg)
+    if cfg.use_external_odometry:
+        odom_prev = _empty_odom_prev(cfg)
+    else:
+        odom_prev = odo_mod.preprocess(scan, jax.random.key(0), cfg.odometry)
+    dense = None
+    if cfg.build_dense_map:
+        dense = dense_map_mod.create(cfg.dense_map_capacity, cfg.dense_map_voxel)
+        dense = dense_map_mod.insert(dense, scan, map_pose)
+    return RtState(
+        odom_prev=odom_prev,
+        last_motion=jnp.eye(4, dtype=jnp.float32),
+        map_pose=jnp.asarray(map_pose, jnp.float32),
+        ref=ref,
+        scans_since_reinit=jnp.asarray(0, jnp.int32),
+        last_insert_pos=jnp.asarray(map_pose, jnp.float32)[:3, 3],
+        bank=bank,
+        scans_in_active=jnp.asarray(1, jnp.int32),
+        dense=dense,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def rt_step(
+    state: RtState,
+    scan: pc.PointBatch,
+    dt: jax.Array,
+    ext_motion: jax.Array,
+    cfg: SlamConfig,
+):
+    """One fully-fused SLAM step. Returns ``(new_state, stats[STATS_LEN])``.
+
+    Device-side control flow replaces the host decisions of
+    ``SlamPipeline.process_scan`` one-for-one:
+
+    - odometry fitness gate (≙ ``Odometry.cpp:56-71``) — ``where``;
+    - reference re-init cadence (≙ ``Mapper.cpp:329-347``) — ``lax.cond``
+      so the expensive rebuild executes only when due;
+    - return-prior on degenerate/non-finite registration
+      (≙ ``ICP.cpp:1334-1341`` + ``Mapper.cpp:400-402``) — ``where``;
+    - min-movement insertion gate (≙ ``Mapper.cpp:463-469``) and the
+      carve cadence (≙ ``Submap.cpp:56-86``) — ``lax.cond``.
+    """
+    ocfg, mcfg, mc = cfg.odometry, cfg.mapper, cfg.motion_compensation
+
+    # --- constant-velocity undistortion (≙ MotionCompensation.cpp) ---
+    if mc.enabled:
+        twist = se3.log_se3(state.last_motion) * (
+            mc.scan_duration / jnp.maximum(dt, 1e-6)
+        )
+        if mc.use_times_channel and "times" in scan.extras:
+            t = scan.extras["times"][..., 0]
+            t_min = jnp.min(jnp.where(scan.mask, t, jnp.inf))
+            t_max = jnp.max(jnp.where(scan.mask, t, -jnp.inf))
+            scan = mc_mod.undistort_with_times(scan, twist, t_min, t_max)
+        else:
+            scan = mc_mod.undistort_with_azimuth(scan, twist, mc.clockwise)
+
+    # --- odometry stage (≙ unifiedWorkerOdom) ---
+    if cfg.use_external_odometry:
+        motion = ext_motion
+        odom_prev = state.odom_prev
+        odom_ok = jnp.asarray(True)
+    else:
+        odom_proc = odo_mod.preprocess(scan, jax.random.key(0), ocfg)
+        odo_res = icp_mod.register_pair(
+            odom_proc, state.odom_prev, state.last_motion, ocfg.icp
+        )
+        odom_ok = (odo_res.overlap_ratio >= ocfg.min_fitness) & jnp.all(
+            jnp.isfinite(odo_res.transform)
+        )
+        motion = jnp.where(odom_ok, odo_res.transform, state.last_motion)
+        odom_prev = odom_proc
+
+    # --- mapping stage (≙ unifiedWorkerMap / Mapper) ---
+    proc = process_scan_for_matching(scan, mcfg)
+    guess = state.map_pose @ motion
+    rebuild = state.scans_since_reinit >= mcfg.reference_reinit_every
+    ref = lax.cond(
+        rebuild,
+        lambda: build_map_reference(state.bank.cloud, guess[:3, 3], mcfg),
+        lambda: state.ref,
+    )
+    scans_since_reinit = jnp.where(rebuild, 1, state.scans_since_reinit + 1)
+
+    res = icp_mod.icp_single(proc, ref, guess, mcfg.icp)
+    finite = jnp.all(jnp.isfinite(res.transform))
+    use_prior = (~finite) | (res.degenerate & (res.overlap_ratio < 0.05))
+    new_pose = jnp.where(use_prior, guess, res.transform)
+
+    # --- insertion gating + carve + insert (≙ SubmapCollection::insertScan) ---
+    moved = (
+        jnp.linalg.norm(new_pose[:3, 3] - state.last_insert_pos)
+        >= mcfg.min_movement_for_insertion
+    )
+    insert = moved & ~use_prior
+    bank = state.bank
+    carved = jnp.asarray(False)
+    if cfg.submaps.carve_every_n > 0:
+        n = cfg.submaps.carve_every_n
+        carved = (
+            insert
+            & (state.scans_in_active > 0)
+            & (state.scans_in_active % n == 0)
+        )
+        bank = lax.cond(
+            carved,
+            lambda b: submap_mod.carve(
+                b, scan, new_pose,
+                angle_tol=cfg.submaps.carve_angle_tol,
+                range_margin=cfg.submaps.carve_range_margin,
+            ),
+            lambda b: b,
+            bank,
+        )
+    bank = lax.cond(
+        insert,
+        lambda b: submap_mod.insert_scan(
+            b, proc, new_pose,
+            cfg.submaps.submap_voxel_size, cfg.submaps.submap_crop_radius,
+        ),
+        lambda b: b,
+        bank,
+    )
+    dense = state.dense
+    if cfg.build_dense_map:
+        dense = lax.cond(
+            insert,
+            lambda d: dense_map_mod.insert(d, scan, new_pose),
+            lambda d: d,
+            dense,
+        )
+    last_insert_pos = jnp.where(insert, new_pose[:3, 3], state.last_insert_pos)
+    scans_in_active = state.scans_in_active + insert.astype(jnp.int32)
+    occupancy = jnp.sum(bank.cloud.mask).astype(jnp.float32)
+
+    stats = jnp.concatenate([
+        new_pose.reshape(-1),
+        jnp.stack([
+            res.converged.astype(jnp.float32),
+            insert.astype(jnp.float32),
+            res.degenerate.astype(jnp.float32),
+            res.overlap_ratio.astype(jnp.float32),
+            res.iterations.astype(jnp.float32),
+            occupancy,
+            odom_ok.astype(jnp.float32),
+            use_prior.astype(jnp.float32),
+            res.residual.astype(jnp.float32),
+            res.match_row_saturation.astype(jnp.float32),
+            rebuild.astype(jnp.float32),
+            carved.astype(jnp.float32),
+        ]),
+    ])
+    new_state = RtState(
+        odom_prev=odom_prev,
+        last_motion=motion,
+        map_pose=new_pose,
+        ref=ref,
+        scans_since_reinit=scans_since_reinit,
+        last_insert_pos=last_insert_pos,
+        bank=bank,
+        scans_in_active=scans_in_active,
+        dense=dense,
+    )
+    return new_state, stats
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _seed_bank(
+    old: submap_mod.SubmapState,
+    center: jax.Array,
+    voxel_size,
+    crop_radius,
+    capacity: int,
+) -> submap_mod.SubmapState:
+    """Seed a fresh submap bank with the old bank's patch around ``center``
+    — the overlap transition region a new reference submap starts from
+    (≙ the scan-insertion overlap buffer, ``SubmapCollection.cpp:189-245``):
+    registration stays continuous across the switch instead of facing an
+    empty map."""
+    from open3d_slam_private_tpu.ops.voxel import voxel_downsample
+
+    d2 = jnp.sum((old.cloud.xyz - center) ** 2, axis=-1)
+    patch = old.cloud.with_mask(d2 <= jnp.asarray(crop_radius) ** 2)
+    patch = dataclasses.replace(patch, extras={})
+    # Seed at most half the bank: a near-full seed would trip the
+    # force-new saturation gate immediately and cascade submap creation.
+    seed = voxel_downsample(patch, voxel_size, capacity=capacity // 2)
+    cloud = pc.PointBatch(
+        xyz=jnp.concatenate(
+            [seed.xyz, jnp.full((capacity - capacity // 2, 3), pc.PAD_COORD)],
+            axis=0,
+        ),
+        mask=jnp.concatenate(
+            [seed.mask, jnp.zeros((capacity - capacity // 2,), bool)], axis=0
+        ),
+        extras={},
+    )
+    return submap_mod.SubmapState(
+        cloud=cloud, pose=jnp.eye(4, dtype=jnp.float32),
+        num_scans=jnp.asarray(0, jnp.int32),
+    )
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    """Host-side per-frame record, filled in as stats are polled."""
+
+    time: float
+    pose: Optional[np.ndarray] = None  # [4,4] registered pose (after poll)
+    inserted: bool = False
+    converged: bool = False
+    degenerate: bool = False
+    out_of_order: bool = False
+
+
+class RealtimePipeline:
+    """Host front-end over :func:`rt_step` — the online SlamWrapper.
+
+    Usage::
+
+        rt = RealtimePipeline(cfg, poll_every=8)
+        for scan, t in stream:
+            rt.process_scan(scan, t)     # non-blocking dispatch
+        rt.finish()                      # drain stats + join loop closure
+        traj = rt.trajectory()           # [F, 4, 4] per-frame poses
+
+    ``poll_every=1`` gives the paced low-latency mode (one blocking stats
+    fetch per scan, still a single device program per scan); larger values
+    amortize the host<->device round-trip for maximum throughput.
+    """
+
+    def __init__(
+        self,
+        cfg: Optional[SlamConfig] = None,
+        poll_every: int = 8,
+        loop_closure_async: bool = True,
+    ):
+        self.cfg = cfg or SlamConfig()
+        self.poll_every = max(1, int(poll_every))
+        self.submaps = SubmapCollection(self.cfg.submaps)
+        self._state: Optional[RtState] = None
+        self._pending: List[jax.Array] = []  # unfetched stats handles
+        self._pending_meta: List[int] = []  # frame index per pending handle
+        self.frames: List[FrameRecord] = []
+        self._last_time: Optional[float] = None
+        self._prev_ext_pose: Optional[np.ndarray] = None
+        self._initial_pose = np.eye(4)
+        self._last_polled_pose = np.eye(4)
+        self.imu_buffer = ImuBuffer()
+        self._attitude_initialized = False
+        # Submap lifecycle mirrors (host side of the collection).
+        self._registry_lock = threading.Lock()
+        self._scans_in_active_at_switch = 0
+        self._last_switch_frame = -(10**9)
+        self._frames_done = 0
+        # Loop closure worker (≙ loopClosureWorker thread).
+        self.loop_closure_async = loop_closure_async and self.cfg.loop_closure_enabled
+        self._lc_queue: "queue.Queue" = queue.Queue()
+        self._lc_thread: Optional[threading.Thread] = None
+        self._lc_stop = threading.Event()
+        self._loop_constraints: List[pr.LoopClosureConstraint] = []
+        self._pending_increment: Optional[np.ndarray] = None  # active-bank inc
+        self._inc_lock = threading.Lock()
+        self._lc_busy = False
+        self.loop_closure_count = 0
+        self.pose_graph_solves = 0
+        if self.loop_closure_async:
+            self._lc_thread = threading.Thread(target=self._lc_worker, daemon=True)
+            self._lc_thread.start()
+
+    # ------------------------------------------------------------------
+    # Ingestion.
+    # ------------------------------------------------------------------
+
+    def add_imu(self, time: float, acc, gyro) -> None:
+        self.imu_buffer.push(time, acc, gyro)
+
+    def set_initial_transform(self, T: np.ndarray) -> None:
+        self._initial_pose = np.asarray(T, np.float64).copy()
+
+    @property
+    def pose(self) -> np.ndarray:
+        """Latest POLLED pose (may lag the device by < poll_every frames)."""
+        return self._last_polled_pose.copy()
+
+    def process_scan(
+        self,
+        scan: pc.PointBatch,
+        time: float,
+        external_odom_pose: Optional[np.ndarray] = None,
+    ) -> None:
+        """Dispatch one scan. Never blocks on device results except at the
+        poll cadence (and on first-scan initialization)."""
+        cfg = self.cfg
+        rec = FrameRecord(time=time)
+
+        # Out-of-order scans are not registered (≙ the backup-transform
+        # path, Mapper.cpp:196-235 — the reference publishes a propagated
+        # pose but does not insert; here the frame is marked and skipped).
+        if self._last_time is not None and time <= self._last_time:
+            rec.out_of_order = True
+            rec.pose = self._last_polled_pose.copy()
+            self.frames.append(rec)
+            return
+
+        if self._state is None:
+            # IMU attitude boot (≙ estimateAttitudeFromImu at startup).
+            if (
+                cfg.use_imu_attitude_init
+                and not self._attitude_initialized
+                and len(self.imu_buffer) >= 2
+                and np.allclose(self._initial_pose[:3, :3], np.eye(3))
+            ):
+                try:
+                    R_wb, _ = self.imu_buffer.estimate_attitude(t_end=time)
+                    self._initial_pose = self._initial_pose.copy()
+                    self._initial_pose[:3, :3] = R_wb
+                    self._attitude_initialized = True
+                except ValueError:
+                    pass
+            self._state = rt_init(
+                scan, jnp.asarray(self._initial_pose, jnp.float32), cfg
+            )
+            with self._registry_lock:
+                self.submaps.submaps.append(
+                    SubmapEntry(
+                        state=self._state.bank,
+                        anchor=self._initial_pose.copy(),
+                        parent=None,
+                    )
+                )
+                self.submaps.active_idx = 0
+            rec.pose = self._initial_pose.copy()
+            rec.inserted = rec.converged = True
+            self._last_polled_pose = self._initial_pose.copy()
+            self.frames.append(rec)
+            self._last_time = time
+            if external_odom_pose is not None:
+                self._prev_ext_pose = np.asarray(external_odom_pose, np.float64)
+            self._frames_done += 1
+            return
+
+        # Apply a pending loop-closure increment at the dispatch boundary
+        # (≙ checkIfOptimizedGraphAvailable on the mapping thread).
+        with self._inc_lock:
+            inc = self._pending_increment
+            self._pending_increment = None
+        if inc is not None:
+            T = jnp.asarray(inc, jnp.float32)
+            self._state = dataclasses.replace(
+                self._state,
+                map_pose=T @ self._state.map_pose,
+                bank=submap_mod.transform_submap(self._state.bank, T),
+                # Force a reference rebuild on the next step: the map moved.
+                scans_since_reinit=jnp.asarray(10**6, jnp.int32),
+            )
+
+        dt = time - (self._last_time if self._last_time is not None else time)
+        if cfg.use_external_odometry and external_odom_pose is not None:
+            ext = np.asarray(external_odom_pose, np.float64)
+            prev = self._prev_ext_pose if self._prev_ext_pose is not None else ext
+            ext_motion = np.linalg.inv(prev) @ ext
+            self._prev_ext_pose = ext
+        else:
+            ext_motion = np.eye(4)
+
+        self._state, stats = rt_step(
+            self._state,
+            scan,
+            jnp.asarray(dt, jnp.float32),
+            jnp.asarray(ext_motion, jnp.float32),
+            cfg,
+        )
+        self._pending.append(stats)
+        self._pending_meta.append(len(self.frames))
+        self.frames.append(rec)
+        self._last_time = time
+        self._frames_done += 1
+        if len(self._pending) >= self.poll_every:
+            self.poll()
+
+    # ------------------------------------------------------------------
+    # Deferred stats consumption + submap lifecycle.
+    # ------------------------------------------------------------------
+
+    def poll(self) -> None:
+        """Fetch all pending stats in ONE stacked transfer and run the host
+        bookkeeping they gate (trajectory, submap switching, loop-closure
+        triggers)."""
+        if not self._pending:
+            return
+        stacked = np.asarray(jnp.stack(self._pending))  # one blocking fetch
+        metas = self._pending_meta
+        self._pending, self._pending_meta = [], []
+        for row, fidx in zip(stacked, metas):
+            rec = self.frames[fidx]
+            rec.pose = row[IDX_POSE].reshape(4, 4).astype(np.float64)
+            rec.inserted = bool(row[IDX_INSERTED] > 0.5)
+            rec.converged = bool(row[IDX_CONVERGED] > 0.5)
+            rec.degenerate = bool(row[IDX_DEGENERATE] > 0.5)
+        last = stacked[-1]
+        self._last_polled_pose = last[IDX_POSE].reshape(4, 4).astype(np.float64)
+        self._maybe_switch_submap(self._last_polled_pose, float(last[IDX_OCCUPANCY]))
+
+    def _maybe_switch_submap(self, pose: np.ndarray, occupancy: float) -> None:
+        """Host submap lifecycle from polled stats (≙ updateActiveSubmap,
+        SubmapCollection.cpp:94-148, evaluated at poll cadence)."""
+        cfg = self.cfg.submaps
+        with self._registry_lock:
+            cur = self.submaps.active_idx
+            entry = self.submaps.submaps[cur]
+            # Keep the registry's view of the active bank fresh (loop
+            # closure + map export read it).
+            entry.state = self._state.bank
+            pos = pose[:3, 3]
+            d_cur = np.linalg.norm(entry.anchor[:3, 3] - pos)
+            max_pts = (
+                cfg.max_num_points
+                if cfg.max_num_points is not None
+                else int(0.9 * cfg.submap_capacity)
+            )
+            force_new = occupancy >= max_pts
+            young = (
+                self._frames_done - self._last_switch_frame
+                < cfg.min_scans_before_switch
+            )
+            if (not force_new) and (young or d_cur <= cfg.creation_radius):
+                return
+            # Try re-activating a nearby finished submap (adjacency +
+            # proximity; the overlap consistency gate runs one blocking
+            # device call — rare, poll-cadence only).
+            best, best_d = -1, np.inf
+            if not force_new:
+                for i, e in enumerate(self.submaps.submaps):
+                    if i == cur:
+                        continue
+                    d = np.linalg.norm(e.anchor[:3, 3] - pos)
+                    if d < best_d:
+                        best, best_d = i, d
+            if (
+                best >= 0
+                and best_d <= cfg.activation_radius
+                and self.submaps.adjacency.is_adjacent(cur, best)
+            ):
+                self._finish_active(cur)
+                self.submaps.active_idx = best
+                self._state = dataclasses.replace(
+                    self._state,
+                    bank=self.submaps.submaps[best].state,
+                    scans_in_active=jnp.asarray(0, jnp.int32),
+                    scans_since_reinit=jnp.asarray(10**6, jnp.int32),
+                )
+                self._last_switch_frame = self._frames_done
+                return
+            if force_new or d_cur > cfg.creation_radius:
+                # Seed the fresh bank with the old bank's local patch (the
+                # overlap transition region) BEFORE finishing the old one.
+                seeded = _seed_bank(
+                    self._state.bank,
+                    jnp.asarray(pos, jnp.float32),
+                    cfg.submap_voxel_size,
+                    self.cfg.mapper.map_patch_radius,
+                    capacity=cfg.submap_capacity,
+                )
+                self._finish_active(cur)
+                new_idx = self._create_submap(pose, parent=cur)
+                self.submaps.submaps[new_idx].state = seeded
+                self.submaps.active_idx = new_idx
+                self._state = dataclasses.replace(
+                    self._state,
+                    bank=seeded,
+                    scans_in_active=jnp.asarray(0, jnp.int32),
+                    scans_since_reinit=jnp.asarray(10**6, jnp.int32),
+                )
+                self._last_switch_frame = self._frames_done
+
+    def _create_submap(self, pose: np.ndarray, parent: Optional[int]) -> int:
+        entry = SubmapEntry(
+            state=submap_mod.create(self.cfg.submaps.submap_capacity),
+            anchor=np.asarray(pose, np.float64).copy(),
+            parent=parent,
+        )
+        self.submaps.submaps.append(entry)
+        idx = len(self.submaps.submaps) - 1
+        if parent is not None:
+            self.submaps.adjacency.add_edge(parent, idx)
+        return idx
+
+    def _finish_active(self, idx: int) -> None:
+        e = self.submaps.submaps[idx]
+        e.state = self._state.bank
+        if not e.finished:
+            e.finished = True
+            if self.loop_closure_async:
+                self._lc_queue.put(idx)
+            elif self.cfg.loop_closure_enabled:
+                self._run_loop_closure(idx)
+
+    # ------------------------------------------------------------------
+    # Loop closure + pose graph (worker thread, ≙ loopClosureWorker).
+    # ------------------------------------------------------------------
+
+    def _lc_worker(self) -> None:
+        while not self._lc_stop.is_set():
+            try:
+                idx = self._lc_queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            self._lc_busy = True
+            try:
+                self._run_loop_closure(idx)
+            except Exception:  # never take down mapping from the LC thread
+                import traceback
+
+                traceback.print_exc()
+            finally:
+                self._lc_busy = False
+
+    def _run_loop_closure(self, finished_idx: int) -> None:
+        constraints = pr.build_loop_closure_constraints(
+            self.submaps, finished_idx, cfg=self.cfg.place_recognition
+        )
+        if not constraints:
+            return
+        self._loop_constraints.extend(constraints)
+        self.loop_closure_count += len(constraints)
+        self._optimize_pose_graph()
+
+    def _optimize_pose_graph(self) -> None:
+        """Build/solve the pose graph from the registry; apply increments to
+        stored banks directly and hand the active-submap increment to the
+        mapping thread (≙ updateSubmapsAndTrajectory split across the
+        loop-closure and mapping workers)."""
+        with self._registry_lock:
+            entries = list(self.submaps.submaps)
+            active_idx = self.submaps.active_idx
+        builder = pg.PoseGraphBuilder(self.cfg.node_capacity, self.cfg.edge_capacity)
+        for e in entries:
+            builder.add_node(e.anchor)
+        for i, e in enumerate(entries):
+            if e.parent is not None:
+                T_rel = np.linalg.inv(entries[e.parent].anchor) @ e.anchor
+                builder.add_edge(e.parent, i, T_rel)
+        for c in self._loop_constraints:
+            builder.add_edge(
+                c.target_idx, c.source_idx, c.T_target_source,
+                info=c.information, is_loop=True,
+            )
+        graph = builder.build()
+        out = pg.optimize(graph, self.cfg.pose_graph)
+        self.pose_graph_solves += 1
+        new_poses = np.asarray(out.poses, np.float64)
+
+        increments: Dict[int, np.ndarray] = {}
+        for i, e in enumerate(entries):
+            inc = new_poses[i] @ np.linalg.inv(e.anchor)
+            if not np.allclose(inc, np.eye(4), atol=1e-6):
+                increments[i] = inc
+        if not increments:
+            return
+        with self._registry_lock:
+            # Transform every NON-active stored bank here on the worker;
+            # parent-chain propagation for unoptimized submaps.
+            resolved: Dict[int, np.ndarray] = {}
+
+            def resolve(i: int) -> np.ndarray:
+                if i in resolved:
+                    return resolved[i]
+                if i in increments:
+                    resolved[i] = increments[i]
+                elif self.submaps.submaps[i].parent is not None:
+                    resolved[i] = resolve(self.submaps.submaps[i].parent)
+                else:
+                    resolved[i] = np.eye(4)
+                return resolved[i]
+
+            for i, e in enumerate(self.submaps.submaps):
+                T = resolve(i)
+                if i == active_idx or np.allclose(T, np.eye(4), atol=1e-9):
+                    continue
+                e.state = submap_mod.transform_submap(
+                    e.state, jnp.asarray(T, jnp.float32)
+                )
+                e.anchor = T @ e.anchor
+            active_inc = resolve(active_idx)
+            self.submaps.submaps[active_idx].anchor = (
+                active_inc @ self.submaps.submaps[active_idx].anchor
+            )
+        if not np.allclose(active_inc, np.eye(4), atol=1e-9):
+            with self._inc_lock:
+                base = (
+                    self._pending_increment
+                    if self._pending_increment is not None
+                    else np.eye(4)
+                )
+                self._pending_increment = active_inc @ base
+
+    # ------------------------------------------------------------------
+    # Shutdown + export.
+    # ------------------------------------------------------------------
+
+    def finish(self, wait_loop_closures: bool = True) -> None:
+        """Drain pending stats, finish the active submap bookkeeping, and
+        (optionally) wait for queued loop closures."""
+        self.poll()
+        with self._registry_lock:
+            if self.submaps.submaps:
+                self.submaps.submaps[self.submaps.active_idx].state = self._state.bank
+        if wait_loop_closures and self.loop_closure_async:
+            import time as _time
+
+            # Graceful join: let the worker drain the queue AND finish the
+            # in-flight item (first-call compiles can take minutes), then
+            # stop it.
+            deadline = _time.time() + 900.0
+            while (not self._lc_queue.empty() or self._lc_busy) and (
+                _time.time() < deadline
+            ):
+                _time.sleep(0.05)
+            self._lc_stop.set()
+            if self._lc_thread is not None:
+                self._lc_thread.join(timeout=60.0)
+        # Apply any loop-closure increment still pending so the exported
+        # map/pose reflect the final optimized graph.
+        with self._inc_lock:
+            inc = self._pending_increment
+            self._pending_increment = None
+        if inc is not None and self._state is not None:
+            T = jnp.asarray(inc, jnp.float32)
+            self._state = dataclasses.replace(
+                self._state,
+                map_pose=T @ self._state.map_pose,
+                bank=submap_mod.transform_submap(self._state.bank, T),
+                scans_since_reinit=jnp.asarray(10**6, jnp.int32),
+            )
+            self._last_polled_pose = inc @ self._last_polled_pose
+            with self._registry_lock:
+                self.submaps.submaps[self.submaps.active_idx].state = self._state.bank
+
+    def trajectory(self) -> np.ndarray:
+        """[F, 4, 4] per-frame registered poses (out-of-order frames carry
+        the last known pose). Call :meth:`finish`/:meth:`poll` first."""
+        out = []
+        last = self._initial_pose
+        for rec in self.frames:
+            if rec.pose is not None:
+                last = rec.pose
+            out.append(last)
+        return np.stack(out) if out else np.zeros((0, 4, 4))
+
+    def assembled_map(self) -> np.ndarray:
+        with self._registry_lock:
+            if self.submaps.submaps:
+                self.submaps.submaps[self.submaps.active_idx].state = self._state.bank
+            return self.submaps.map_points()
+
+    def dense_map_points(self) -> np.ndarray:
+        if self._state is None or self._state.dense is None:
+            return np.zeros((0, 3), np.float32)
+        out = dense_map_mod.export(self._state.dense)
+        return np.asarray(out.xyz)[np.asarray(out.mask)]

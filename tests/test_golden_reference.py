@@ -207,9 +207,9 @@ def test_golden_force4dof(clouds):
 # ---------------------------------------------------------------------------
 
 UNDILUTED_YAMLS = [
-    "defaultIdentityDataPointsFilter",        # no filters at all
+    "defaultIdentityDataPointsFilter",        # identity reading + surfel reference
     "SamplingSurfaceNormalDataPointsFilter1", # surfel decimation chain
-    "defaultRobustOutlierFilter",             # knn=10 matching + robust w
+    "defaultRobustOutlierFilter",             # no filters at all; knn=10 matching + robust weights
 ]
 
 
