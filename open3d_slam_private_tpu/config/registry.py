@@ -211,14 +211,27 @@ def _hidden_point_removal(b, key, p):
 
 
 def _organized_surface_normal(b, key, p):
-    # The reference reads the cloud's 2-D indexGrid (organized scans); the
-    # flat PointBatch carries no grid, so the YAML must supply the range
-    # image shape via ``rows``/``cols`` (row-major layout assumed).
+    # The reference reads the cloud's 2-D indexGrid (organized scans,
+    # PointMatcher.h:222-405). An organized PointBatch carries the same
+    # grid (pc.from_organized); flat batches may supply the range-image
+    # shape via ``rows``/``cols`` (row-major layout assumed).
+    from open3d_slam_private_tpu.ops import pointcloud as _pc
+
+    if b.index_grid is not None:
+        img, valid = _pc.organized_view(b)
+        n_img = normals_mod.estimate_normals_organized(img, valid)
+        # Scatter image normals back to the point axis through the grid.
+        g = b.index_grid.reshape(-1)
+        n_flat = jax.numpy.zeros((b.capacity, 3), b.xyz.dtype)
+        n_flat = n_flat.at[jax.numpy.maximum(g, 0)].set(
+            jax.numpy.where((g >= 0)[:, None], n_img.reshape(-1, 3), 0.0)
+        )
+        return b.with_extras(normals=n_flat)
     if "rows" not in p or "cols" not in p:
         raise KeyError(
-            "OrganizedCloudSurfaceNormalDataPointsFilter needs 'rows' and "
-            "'cols' params here (PointBatch carries no index grid); "
-            "row-major [rows*cols] layout assumed"
+            "OrganizedCloudSurfaceNormalDataPointsFilter needs an organized "
+            "batch (index_grid) or 'rows'/'cols' params; row-major "
+            "[rows*cols] layout assumed"
         )
     rows, cols = int(p["rows"]), int(p["cols"])
     if rows * cols != b.capacity:

@@ -31,15 +31,29 @@ class PointBatch:
 
     ``extras`` maps channel name -> ``[..., N, d]`` array. Normals are stored
     under ``"normals"`` to match the reference's descriptor name.
+
+    ``index_grid`` (optional): the organized-cloud 2-D index grid
+    (≙ ``DataPoints::indexGrid``, ``PointMatcher.h:222-405``): an
+    ``[..., H, W]`` int32 array of linear indices into the point axis, -1
+    for empty cells. Validity of a cell = ``mask[index_grid[h, w]]`` (like
+    the reference, where removed points leave dangling grid cells that the
+    organized consumers skip). Masking preserves the grid; :func:`compact`
+    remaps it.
     """
 
     xyz: jax.Array
     mask: jax.Array
     extras: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
+    index_grid: Optional[jax.Array] = None
 
     @property
     def capacity(self) -> int:
         return self.xyz.shape[-2]
+
+    @property
+    def is_organized(self) -> bool:
+        """≙ ``DataPoints::isOrganized()``."""
+        return self.index_grid is not None
 
     @property
     def batch_shape(self):
@@ -115,6 +129,42 @@ def from_points(
     return PointBatch(xyz=xyz, mask=mask, extras=extras)
 
 
+def from_organized(
+    points,
+    extras: Optional[Dict[str, jax.Array]] = None,
+    dtype=jnp.float32,
+) -> PointBatch:
+    """Build an ORGANIZED PointBatch from an ``[H, W, 3]`` range image
+    (≙ constructing a ``DataPoints`` with an ``indexGrid``). Non-finite
+    pixels become invalid points; the grid keeps their cells at -1."""
+    img = jnp.asarray(points, dtype=dtype)
+    h, w = img.shape[0], img.shape[1]
+    flat = img.reshape(h * w, 3)
+    finite = jnp.all(jnp.isfinite(flat), axis=-1)
+    xyz = jnp.where(finite[:, None], flat, PAD_COORD)
+    idx = jnp.arange(h * w, dtype=jnp.int32)
+    grid = jnp.where(finite, idx, -1).reshape(h, w)
+    flat_extras = {
+        k: jnp.asarray(v, dtype=dtype).reshape(h * w, -1)
+        for k, v in (extras or {}).items()
+    }
+    return PointBatch(xyz=xyz, mask=finite, extras=flat_extras, index_grid=grid)
+
+
+def organized_view(batch: PointBatch):
+    """``(xyz_image [H, W, 3], valid [H, W])`` of an organized batch —
+    the consumer-side of the index grid (what
+    ``OrganizedCloudSurfaceNormal`` walks in the reference). Cells that are
+    empty or whose point was mask-removed are invalid."""
+    if batch.index_grid is None:
+        raise ValueError("organized_view: batch carries no index_grid")
+    g = batch.index_grid
+    safe = jnp.maximum(g, 0)
+    xyz = batch.xyz[safe]
+    valid = (g >= 0) & batch.mask[safe]
+    return jnp.where(valid[..., None], xyz, PAD_COORD), valid
+
+
 def stack(batches) -> PointBatch:
     """Stack same-capacity PointBatches along a new leading batch axis."""
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)
@@ -138,7 +188,18 @@ def compact(batch: PointBatch, capacity: int) -> PointBatch:
         for k, v in batch.extras.items()
     }
     xyz = jnp.where(mask[..., None], xyz, PAD_COORD)
-    return PointBatch(xyz=xyz, mask=mask, extras=extras)
+    index_grid = None
+    if batch.index_grid is not None and batch.xyz.ndim == 2:
+        # Remap the organized grid through the permutation: cells whose
+        # point was moved keep pointing at it; cells whose point fell off
+        # the new capacity (or was invalid) go empty (-1).
+        inv = jnp.full((n,), -1, jnp.int32)
+        inv = inv.at[order[:capacity]].set(
+            jnp.where(mask, jnp.arange(capacity, dtype=jnp.int32), -1)
+        )
+        g = batch.index_grid
+        index_grid = jnp.where(g >= 0, inv[jnp.maximum(g, 0)], -1)
+    return PointBatch(xyz=xyz, mask=mask, extras=extras, index_grid=index_grid)
 
 
 # ---------------------------------------------------------------------------

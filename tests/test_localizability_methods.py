@@ -316,3 +316,66 @@ def test_optimized_with_cached_rounds_and_moments(rng):
     assert abs(T[0, 3]) < 0.05, T[0, 3]
     assert bool(res.degenerate)
     assert abs(T[1, 3] - 0.05) < 0.03
+
+
+def test_cadence_parity_on_degenerate_sequence(rng):
+    """Sequence-level cadence parity (round-4 item): registering a SEQUENCE
+    of degenerate corridor scans with ``analysis_per_round=True`` (the perf
+    default: analysis frozen per candidate-refresh round) must produce the
+    SAME constrained-direction decisions and poses within tolerance as
+    ``analysis_per_round=False`` (the reference's per-iteration cadence,
+    ``ICP.cpp:1079-1172``). Single registrations are covered above; this
+    pins the agreement when decisions feed forward through a trajectory
+    (each scan's init is the previous scan's estimate)."""
+    ref_pts = corridor_cloud(rng, n=4000)
+    ref = with_normals(ref_pts)
+
+    def run_sequence(per_round: bool):
+        cfg = icp_mod.ICPConfig(
+            **{
+                **BASE_CFG.__dict__,
+                "matcher": "grid",
+                "fast_trimming": True,
+                "candidate_refresh_every": 5,
+                "max_iterations": 20,
+                "degeneracy": DegeneracyConfig(
+                    method="optimized",
+                    enough_information_threshold=250.0,
+                    insufficient_information_threshold=180.0,
+                    analysis_per_round=per_round,
+                ),
+            }
+        )
+        poses, locs = [], []
+        init = jnp.eye(4)
+        # A drift along the corridor axis (x: unobservable) + observable
+        # lateral/vertical motion; each scan registers with the previous
+        # estimate as its prior, like the mapper loop.
+        for k in range(1, 6):
+            twist = [0, 0, 0, 0.3 * k, 0.04 * k, 0.02 * k]
+            reading_pts = shifted(ref_pts, twist)
+            res = register(reading_pts, ref, cfg, init=init)
+            poses.append(np.asarray(res.transform))
+            locs.append(
+                np.r_[
+                    np.asarray(res.localizability_trans),
+                    np.asarray(res.localizability_rot),
+                ]
+            )
+            init = res.transform
+        return np.stack(poses), np.stack(locs)
+
+    poses_r, locs_r = run_sequence(True)
+    poses_i, locs_i = run_sequence(False)
+    # Identical constrained-direction decisions at every step.
+    np.testing.assert_array_equal(locs_r, locs_i)
+    # Corridor axis (x) non-localizable throughout.
+    assert np.all(locs_r[:, 0] == 0.0)
+    # Pose agreement: the observable directions must match tightly; the
+    # unobservable x stays pinned at the prior under both cadences.
+    dt = np.abs(poses_r[:, :3, 3] - poses_i[:, :3, 3])
+    assert np.max(dt) < 5e-3, dt
+    for a, b in zip(poses_r, poses_i):
+        dR = a[:3, :3].T @ b[:3, :3]
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+        assert ang < 1e-3

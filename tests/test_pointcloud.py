@@ -91,3 +91,69 @@ def test_batch_stack_and_vmap(rng):
     assert stacked.xyz.shape == (3, 8, 3)
     counts = jax.vmap(lambda b: b.count())(stacked)
     assert counts.shape == (3,)
+
+
+def test_organized_index_grid_roundtrip():
+    """index_grid parity (≙ DataPoints::indexGrid, PointMatcher.h:222-405):
+    from_organized builds the grid, masking leaves dangling cells invalid,
+    compact remaps indices."""
+    h, w = 4, 6
+    img = np.zeros((h, w, 3), np.float32)
+    img[..., 0] = np.arange(w)[None, :]
+    img[..., 1] = np.arange(h)[:, None]
+    img[1, 2] = np.nan  # one dead pixel
+    b = pc.from_organized(img)
+    assert b.is_organized
+    assert b.capacity == h * w
+    g = np.asarray(b.index_grid)
+    assert g.shape == (h, w)
+    assert g[1, 2] == -1
+    assert int(b.count()) == h * w - 1
+    # organized_view recovers the image (dead pixel invalid).
+    xyz_img, valid = pc.organized_view(b)
+    assert not bool(valid[1, 2])
+    assert bool(valid[0, 0])
+    np.testing.assert_allclose(np.asarray(xyz_img)[0, 1], img[0, 1], atol=0)
+
+    # Mask-removing a point leaves its grid cell invalid through the view.
+    keep = np.ones(h * w, bool)
+    keep[g[2, 3]] = False
+    b2 = b.with_mask(jnp.asarray(keep))
+    _, valid2 = pc.organized_view(b2)
+    assert not bool(valid2[2, 3])
+
+    # compact remaps: every surviving cell still points at the same xyz.
+    c = pc.compact(b2, h * w)
+    gc = np.asarray(c.index_grid)
+    cx = np.asarray(c.xyz)
+    for row in range(h):
+        for col in range(w):
+            if (row, col) in ((1, 2), (2, 3)):
+                assert gc[row, col] == -1 or not bool(
+                    np.asarray(c.mask)[gc[row, col]]
+                )
+                continue
+            assert gc[row, col] >= 0
+            np.testing.assert_allclose(cx[gc[row, col]], img[row, col], atol=0)
+
+
+def test_organized_surface_normal_uses_grid():
+    """The registry's OrganizedCloudSurfaceNormal consumes the batch's own
+    index grid (no rows/cols needed) and produces plane normals."""
+    from open3d_slam_private_tpu.config import registry
+
+    h, w = 16, 16
+    img = np.zeros((h, w, 3), np.float32)
+    img[..., 0] = np.arange(w)[None, :] * 0.1
+    img[..., 1] = np.arange(h)[:, None] * 0.1
+    b = pc.from_organized(img)
+    chain = registry.make_filter_chain(
+        [{"OrganizedCloudSurfaceNormalDataPointsFilter": {}}]
+    )
+    out = chain(b, jax.random.key(0))
+    n = np.asarray(out.normals)
+    m = np.asarray(out.mask)
+    interior = np.asarray(b.index_grid)[2:-2, 2:-2].reshape(-1)
+    nz = np.abs(n[interior, 2])
+    assert np.all(m[interior])
+    assert np.all(nz > 0.99)  # flat plane -> +-z normals
