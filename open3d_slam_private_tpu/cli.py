@@ -322,16 +322,28 @@ def _cmd_evaluate(args) -> int:
         # Validate before the (potentially long) evaluation runs.
         print("--plot needs --report (the CSV is the plot input)", file=sys.stderr)
         return 1
-    cfg = (
-        icp_config_from_yaml(args.config)
-        if args.config
-        else icp_mod.ICPConfig(knn=8, max_match_dist=1.0, matcher="grid",
-                               trimmed_ratio=0.9)
-    )
+    reading_chain = reference_chain = None
+    if args.protocol and args.config:
+        print("--protocol and --config are mutually exclusive", file=sys.stderr)
+        return 1
+    if args.protocol:
+        cfg, reading_chain, reference_chain = evaluation.protocol_config(
+            args.protocol
+        )
+    elif args.config:
+        cfg = icp_config_from_yaml(args.config)
+    else:
+        cfg = icp_mod.ICPConfig(knn=8, max_match_dist=1.0, matcher="grid",
+                                trimmed_ratio=0.9)
     cases = evaluation.load_manifest(args.manifest)
     if args.max_cases:
         cases = cases[: args.max_cases]
-    results, summary = evaluation.evaluate(cases, cfg)
+    results, summary = evaluation.evaluate(
+        cases, cfg,
+        reading_filters=reading_chain,
+        reference_filters=reference_chain,
+        device_timing_reps=args.device_timing_reps,
+    )
     for r in results:
         print(
             f"{r.name or '?':24s} trans={r.trans_err_m:.4f}m "
@@ -567,6 +579,17 @@ def main(argv=None) -> int:
     pe = sub.add_parser("evaluate", help="eval_solution-style protocol over a manifest")
     pe.add_argument("manifest", help="CSV: reading,reference,gt_00..gt_33[,init_..]")
     pe.add_argument("--config", help="libpointmatcher-style icp.yaml")
+    pe.add_argument(
+        "--protocol",
+        # Kept literal so --help stays import-light; must match
+        # evaluation.PROTOCOLS (tested in test_evaluation).
+        choices=["Besl92_pt2point", "Chen91_pt2plane"],
+        help="official protocol preset (evaluations/official_solutions)",
+    )
+    pe.add_argument(
+        "--device-timing-reps", type=int, default=0,
+        help="N>0: also report honest per-pair device time (N chained reps)",
+    )
     pe.add_argument("--max-cases", type=int, default=0)
     pe.add_argument("--report", help="write the CSV report here")
     pe.add_argument("--plot", help="render the report as a PNG panel "

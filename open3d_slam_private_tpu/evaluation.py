@@ -75,27 +75,133 @@ def load_manifest(path: str) -> List[EvalCase]:
     return cases
 
 
+# ---------------------------------------------------------------------------
+# Official protocol presets (≙ evaluations/official_solutions/*.yaml).
+# Embedded as literal documents (semantic translation of the reference
+# protocol files, cited per entry) so the harness runs them without the
+# reference checkout present.
+# ---------------------------------------------------------------------------
+
+PROTOCOLS = {
+    # ≙ evaluations/official_solutions/Besl92_pt2point.yaml: MinDist 1.0 +
+    # 5% random sampling on both sides, unbounded knn=1 KDTree, trimmed
+    # 0.75, point-to-point, counter 150 + differential 1e-3/1e-2 smooth 4.
+    "Besl92_pt2point": {
+        "readingDataPointsFilters": [
+            {"MinDistDataPointsFilter": {"minDist": 1.0}},
+            {"RandomSamplingDataPointsFilter": {"prob": 0.05}},
+        ],
+        "referenceDataPointsFilters": [
+            {"MinDistDataPointsFilter": {"minDist": 1.0}},
+            {"RandomSamplingDataPointsFilter": {"prob": 0.05}},
+        ],
+        "matcher": {"KDTreeMatcher": {"knn": 1, "epsilon": 3.16}},
+        "outlierFilters": [{"TrimmedDistOutlierFilter": {"ratio": 0.75}}],
+        "errorMinimizer": "PointToPointErrorMinimizer",
+        "transformationCheckers": [
+            {"CounterTransformationChecker": {"maxIterationCount": 150}},
+            {"DifferentialTransformationChecker": {
+                "minDiffRotErr": 0.001, "minDiffTransErr": 0.01,
+                "smoothLength": 4}},
+        ],
+    },
+    # ≙ evaluations/official_solutions/Chen91_pt2plane.yaml: same gates but
+    # surfel-decimated reference (SamplingSurfaceNormal knn=7 ratio=0.1),
+    # trimmed 0.7, point-to-plane.
+    "Chen91_pt2plane": {
+        "readingDataPointsFilters": [
+            {"MinDistDataPointsFilter": {"minDist": 1.0}},
+            {"RandomSamplingDataPointsFilter": {"prob": 0.05}},
+        ],
+        "referenceDataPointsFilters": [
+            {"MinDistDataPointsFilter": {"minDist": 1.0}},
+            {"SamplingSurfaceNormalDataPointsFilter": {
+                "knn": 7, "samplingMethod": 1, "ratio": 0.1}},
+        ],
+        "matcher": {"KDTreeMatcher": {"knn": 1, "epsilon": 3.16}},
+        "outlierFilters": [{"TrimmedDistOutlierFilter": {"ratio": 0.7}}],
+        "errorMinimizer": "PointToPlaneErrorMinimizer",
+        "transformationCheckers": [
+            {"CounterTransformationChecker": {"maxIterationCount": 150}},
+            {"DifferentialTransformationChecker": {
+                "minDiffRotErr": 0.001, "minDiffTransErr": 0.01,
+                "smoothLength": 4}},
+        ],
+    },
+}
+
+
+def protocol_config(name: str, matcher_backend: str = "grid"):
+    """(icp_config, reading_chain, reference_chain) for an official
+    protocol preset. Chains are ``(PointBatch, key) -> PointBatch``.
+
+    ``matcher_backend`` follows :func:`registry.icp_config_from_dict`
+    semantics: the protocol's unbounded KDTreeMatcher always maps to the
+    exact streaming brute matcher (maxDist=inf), whatever backend is
+    passed for bounded configs.
+    """
+    from open3d_slam_private_tpu.config import registry
+
+    if name not in PROTOCOLS:
+        raise KeyError(f"unknown protocol {name!r} (known: {sorted(PROTOCOLS)})")
+    doc = PROTOCOLS[name]
+    cfg = registry.icp_config_from_dict(doc, matcher_backend=matcher_backend)
+    reading_chain = registry.make_filter_chain(doc.get("readingDataPointsFilters"))
+    reference_chain = registry.make_filter_chain(doc.get("referenceDataPointsFilters"))
+    return cfg, reading_chain, reference_chain
+
+
 def evaluate(
     cases: Sequence[EvalCase],
     icp_config,
     reading_capacity: int = 16384,
     reference_capacity: int = 32768,
     normals_knn: int = 10,
+    reading_filters=None,
+    reference_filters=None,
+    device_timing_reps: int = 0,
+    seed: int = 0,
 ) -> Tuple[List[EvalResult], dict]:
-    """Run the protocol; returns per-case results + the summary table."""
+    """Run the protocol; returns per-case results + the summary table.
+
+    ``reading_filters`` / ``reference_filters``: optional
+    ``(PointBatch, key) -> PointBatch`` chains applied before registration
+    (≙ the protocol yaml's DataPointsFilters; see :func:`protocol_config`).
+    Reference-side normals are estimated only when the chain did not
+    already produce them (≙ the reference estimating normals via
+    SamplingSurfaceNormal inside the chain).
+
+    ``device_timing_reps > 0``: after the accuracy pass, each case's
+    registration is re-run that many times chained through a data
+    dependency with one final readback — the honest per-pair DEVICE time
+    on relay-attached accelerators, reported as ``device_p50_s`` (the
+    ``eval_solution.cpp`` per-registration timing column). The first
+    case's ``wall_s`` still includes compilation; use the summary's
+    ``wall_p50_s``/``device_p50_s`` for throughput claims.
+    """
+    import jax as _jax
+
     from open3d_slam_private_tpu.models import icp as icp_mod
     from open3d_slam_private_tpu.ops import normals as normals_mod
     from open3d_slam_private_tpu.ops import pointcloud as pc
 
     results: List[EvalResult] = []
+    device_times: List[float] = []
+    key = _jax.random.key(seed)
     for case in cases:
+        key, k_read, k_ref = _jax.random.split(key, 3)
         reference = pc.from_points(case.reference, capacity=reference_capacity)
-        reference = normals_mod.estimate_normals(
-            reference, knn=normals_knn,
-            max_dist=4.0 * min(icp_config.max_match_dist, 1e6),
-        )
+        if reference_filters is not None:
+            reference = reference_filters(reference, k_ref)
+        if reference.normals is None and icp_config.minimizer != "point_to_point":
+            reference = normals_mod.estimate_normals(
+                reference, knn=normals_knn,
+                max_dist=4.0 * min(icp_config.max_match_dist, 1e6),
+            )
         reading = pc.from_points(case.reading, capacity=reading_capacity)
-        if icp_config.minimizer == "gicp":
+        if reading_filters is not None:
+            reading = reading_filters(reading, k_read)
+        if icp_config.minimizer == "gicp" and reading.normals is None:
             reading = normals_mod.estimate_normals(
                 reading, knn=normals_knn,
                 max_dist=4.0 * min(icp_config.max_match_dist, 1e6),
@@ -118,6 +224,21 @@ def evaluate(
                 wall_s=wall,
             )
         )
+        if device_timing_reps > 0:
+            from open3d_slam_private_tpu.utils.timing import time_device_fn
+
+            def _reg(init_T, reading_, reference_):
+                return icp_mod.register_pair(
+                    reading_, reference_, init_T, icp_config
+                ).transform
+
+            device_times.append(
+                time_device_fn(
+                    _reg,
+                    (jnp.asarray(case.T_init, jnp.float32), reading, reference),
+                    iters=device_timing_reps,
+                )
+            )
 
     trans = np.array([r.trans_err_m for r in results])
     rot = np.array([r.rot_err_rad for r in results])
@@ -131,7 +252,11 @@ def evaluate(
         rot_err_p95_rad=float(np.percentile(rot, 95)),
         wall_p50_s=float(np.median(walls)),
         wall_mean_s=float(np.mean(walls)),
+        device=str(_jax.devices()[0]),
     )
+    if device_times:
+        summary["device_p50_s"] = float(np.median(device_times))
+        summary["device_mean_s"] = float(np.mean(device_times))
     return results, summary
 
 

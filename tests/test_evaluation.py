@@ -134,3 +134,57 @@ def test_read_report_tolerates_multi_protocol(tmp_path):
     rows, summary = evaluation.read_report(str(p))
     assert len(rows) == 1 and rows[0]["name"] == "a"
     assert summary["pair_cases"] == "1"
+
+
+def test_protocol_presets_translate():
+    """The embedded official protocols translate through the registry:
+    Besl92 -> point-to-point trimmed 0.75 brute knn=1; Chen91 ->
+    point-to-plane trimmed 0.7 with a surfel-decimated reference chain
+    (evaluations/official_solutions/*.yaml semantics)."""
+    cfg_b, rchain_b, refchain_b = evaluation.protocol_config("Besl92_pt2point")
+    assert cfg_b.minimizer == "point_to_point"
+    assert cfg_b.knn == 1
+    assert cfg_b.matcher == "brute"  # unbounded KDTree -> exact brute
+    assert cfg_b.trimmed_ratio == 0.75
+    assert cfg_b.max_iterations == 150
+    assert cfg_b.min_diff_rot == 0.001 and cfg_b.min_diff_trans == 0.01
+    cfg_c, _, _ = evaluation.protocol_config("Chen91_pt2plane")
+    assert cfg_c.minimizer == "point_to_plane"
+    assert cfg_c.trimmed_ratio == 0.7
+    with pytest.raises(KeyError):
+        evaluation.protocol_config("nope")
+    # CLI choices stay in sync with the preset table.
+    assert set(evaluation.PROTOCOLS) == {"Besl92_pt2point", "Chen91_pt2plane"}
+
+
+@pytest.mark.slow
+def test_evaluate_with_protocol_chains(rng):
+    """End-to-end: a Chen91 run over synthetic cases applies the filter
+    chains (reference keeps surfel normals; reading randomly sampled) and
+    recovers the pose."""
+    import jax
+
+    cases = []
+    for i in range(2):
+        ref = make_surface_cloud(rng, 3000)
+        ref = ref * 3.0 + np.array([4.0, 0, 0], np.float32)  # past minDist 1.0
+        T_gt = np.asarray(
+            se3.exp_se3(jnp.asarray([0.01, 0, 0.01, 0.06, -0.03, 0.02], jnp.float32))
+        )
+        reading = (np.linalg.inv(T_gt)[None, :3, :3] @ ref[:, :, None])[:, :, 0] \
+            + np.linalg.inv(T_gt)[:3, 3]
+        cases.append(
+            evaluation.EvalCase(
+                reading.astype(np.float32), ref.astype(np.float32),
+                T_gt, np.eye(4), name=f"c{i}",
+            )
+        )
+    cfg, rchain, refchain = evaluation.protocol_config("Chen91_pt2plane")
+    results, summary = evaluation.evaluate(
+        cases, cfg, reading_capacity=4096, reference_capacity=4096,
+        reading_filters=rchain, reference_filters=refchain,
+        device_timing_reps=2,
+    )
+    assert summary["cases"] == 2
+    assert summary["trans_err_p50_m"] < 0.05, summary
+    assert "device" in summary and "device_p50_s" in summary
