@@ -101,29 +101,20 @@ def rot_angle(R):
     return float(np.arccos(np.clip((np.trace(R) - 1) / 2, -1.0, 1.0)))
 
 
-def run_pipeline_bench(n_frames=220, n_pts=8192, smoke=False):
-    """Sustained end-to-end pipeline throughput (the reference's primary
-    runtime observable: the mapper-worker Hz printed at
-    ``SlamWrapper.cpp:940-944``). A closed-loop trajectory through the
-    synthetic scene drives ``SlamPipeline.process_scan`` — host
-    preprocessing, odometry, X-ICP mapper, submap switches, reference
-    re-inits, loop closure + pose graph — with FIXED scan capacity (one
-    compiled program set). Reports mapper Hz and p50/p95 per-scan wall
-    latency (compile frames excluded)."""
+def _pipeline_cfg(smoke=False, carve=True, dense=True, loopy=True):
+    """The e2e SLAM config: production X-ICP chain + (round 4) carving,
+    dense map, and a PCG-capable pose graph in the measured loop."""
     import dataclasses as _dc
-    import jax as _jax
 
-    from open3d_slam_private_tpu.geometry import se3
     from open3d_slam_private_tpu.models import icp as icp_mod
     from open3d_slam_private_tpu.models.localizability import DegeneracyConfig
-    from open3d_slam_private_tpu.ops import pointcloud as pc
     from open3d_slam_private_tpu.slam.mapper import MapperConfig
     from open3d_slam_private_tpu.slam.odometry import OdometryConfig
     from open3d_slam_private_tpu.slam.pipeline import (
-        MotionCompensationConfig, SlamConfig, SlamPipeline)
+        MotionCompensationConfig, SlamConfig)
+    from open3d_slam_private_tpu.slam import pose_graph as pg
     from open3d_slam_private_tpu.slam.submap_collection import SubmapCollectionConfig
 
-    scene = synth_scene(20_000 if smoke else 200_000)
     icp_map = _dc.replace(
         icp_mod.ICPConfig(
             knn=1, max_match_dist=1.0, matcher="grid",
@@ -137,25 +128,39 @@ def run_pipeline_bench(n_frames=220, n_pts=8192, smoke=False):
                                     enough_information_threshold=250.0,
                                     insufficient_information_threshold=180.0),
     )
-    cfg = SlamConfig(
+    return SlamConfig(
         odometry=OdometryConfig(voxel_size=0.2, max_range=40.0),
         mapper=MapperConfig(icp=icp_map, scan_voxel_size=0.1,
                             submap_voxel_size=0.15,
                             min_movement_for_insertion=0.05),
         submaps=SubmapCollectionConfig(
             submap_capacity=1 << 17, submap_voxel_size=0.15,
-            creation_radius=12.0, activation_radius=14.0, carve_every_n=0),
+            # Loopy lifecycle: small creation radius -> many submaps ->
+            # many loop closures -> the in-pipeline graph trips PCG.
+            creation_radius=4.0 if loopy else 12.0,
+            activation_radius=4.5 if loopy else 14.0,
+            carve_every_n=5 if carve else 0),
         motion_compensation=MotionCompensationConfig(enabled=True, scan_duration=0.1),
         use_imu_attitude_init=False,
         loop_closure_enabled=True,
         use_external_odometry=False,
+        build_dense_map=dense,
+        dense_map_voxel=0.1,
+        dense_map_capacity=1 << 16 if smoke else 1 << 20,
+        # PCG engages once the graph outgrows the dense-solver regime; the
+        # loopy run's ~30+ submap nodes exercise it in-pipeline.
+        pose_graph=pg.PoseGraphConfig(iterations=15, solver="auto",
+                                      auto_pcg_nodes=24),
+        node_capacity=128,
+        edge_capacity=1024,
     )
-    pipe = SlamPipeline(cfg)
-    rng = np.random.default_rng(7)
-    pose = np.eye(4)
-    pose[:3, 3] = [6.0, -2.0, 1.2]
-    # Closed loop (~157-frame revolution) so a loop closure fires.
-    full_twist = np.array([0.0, 0.0, 0.04, 0.32, 0.0, 0.0])
+
+
+def _make_sweep(scene, n_pts):
+    import jax as _jax
+
+    from open3d_slam_private_tpu.geometry import se3
+    from open3d_slam_private_tpu.ops import pointcloud as pc
 
     def sweep(pose, twist, seed):
         T_end = pose @ np.asarray(
@@ -178,35 +183,231 @@ def run_pipeline_bench(n_frames=220, n_pts=8192, smoke=False):
                                extras={"times": phases[:, None]})
         return batch, T_end
 
-    lats, loops, gts, ests = [], 0, [], []
-    t_all0 = time.perf_counter()
+    return sweep
+
+
+def _frames_for_run(scene, n_frames, n_pts, speed=0.4, yaw=0.04):
+    """Pre-generate a closed-loop trajectory (~157-frame lap) + scans so
+    scan synthesis stays out of the timed loop."""
+    sweep = _make_sweep(scene, n_pts)
+    pose = np.eye(4)
+    pose[:3, 3] = [6.0, -2.0, 1.2]
+    full_twist = np.array([0.0, 0.0, yaw, speed, 0.0, 0.0])
+    frames, gts = [], []
     for i in range(n_frames):
         a = min(max(i - 1, 0) / 5.0, 1.0)
         scan, pose = sweep(pose, a * full_twist, 1000 + i)
-        t0 = time.perf_counter()
-        stats = pipe.process_scan(scan, time=0.1 * i)
-        lats.append(time.perf_counter() - t0)
-        loops += int((stats or {}).get("loop_closures", 0) or 0)
+        frames.append(scan)
         gts.append(pose.copy())
-        ests.append(pipe.pose.copy())
+    return frames, np.stack(gts)
+
+
+def _ate(est, gts):
+    T_align = gts[0] @ np.linalg.inv(est[0])
+    return np.asarray([
+        np.linalg.norm((np.linalg.inv(T_align @ e) @ g)[:3, 3])
+        for e, g in zip(est, gts)
+    ])
+
+
+def run_pipeline_bench(n_frames=340, n_pts=8192, smoke=False):
+    """Sustained end-to-end pipeline throughput (the reference's primary
+    runtime observable: the mapper-worker Hz printed at
+    ``SlamWrapper.cpp:940-944``), round-4 architecture: the REALTIME
+    pipeline (one fused device step per scan, deferred stats polls, loop
+    closure on a worker thread) over a LOOPY two-lap trajectory with
+    carving + dense map enabled and the pose graph sized into its PCG
+    regime. Also reports a paced low-latency segment (poll_every=1: the
+    honest per-scan arrival->pose wall against the 100 ms @ 10 Hz budget)
+    and a short offline-harness cross-check on the same scans (ATE parity
+    between the two orchestration modes)."""
+    from open3d_slam_private_tpu.slam.pipeline import SlamPipeline
+    from open3d_slam_private_tpu.slam.realtime import RealtimePipeline
+
+    scene = synth_scene(20_000 if smoke else 200_000)
+    cfg = _pipeline_cfg(smoke=smoke)
+    frames, gts = _frames_for_run(scene, n_frames, n_pts)
+
+    # --- throughput mode (poll_every=8) over the full loopy run ---
+    rt = RealtimePipeline(cfg, poll_every=8)
+    lats = []
+    t_all0 = time.perf_counter()
+    for i, scan in enumerate(frames):
+        t0 = time.perf_counter()
+        rt.process_scan(scan, time=0.1 * i)
+        lats.append(time.perf_counter() - t0)
         if i == 19:
             progress(f"pipeline warm (20 frames, {time.perf_counter()-t_all0:.0f}s)")
+    rt.poll()
     wall = time.perf_counter() - t_all0
-    core = np.asarray(lats[5 if smoke else 20:])  # drop compile frames
-    T_align = gts[0] @ np.linalg.inv(ests[0])
-    ate = [np.linalg.norm((np.linalg.inv(T_align @ e) @ g)[:3, 3])
-           for e, g in zip(ests, gts)]
+    rt.finish()
+    traj = rt.trajectory()
+    warm_drop = 5 if smoke else 20
+    core = np.asarray(lats[warm_drop:])
+    ate = _ate(traj, gts)
+    mapper_hz = 1.0 / float(np.mean(core))
+
+    # --- paced latency mode (poll_every=1) on a 40-frame segment ---
+    n_paced = 10 if smoke else 40
+    rt2 = RealtimePipeline(cfg, poll_every=1)
+    paced = []
+    for i, scan in enumerate(frames[:n_paced]):
+        t0 = time.perf_counter()
+        rt2.process_scan(scan, time=0.1 * i)
+        rt2.poll()
+        paced.append(time.perf_counter() - t0)
+    rt2.finish(wait_loop_closures=False)
+    paced_core = np.asarray(paced[3 if smoke else 10:])
+
+    # --- offline-harness cross-check (same scans, deterministic mode) ---
+    n_off = 10 if smoke else 60
+    off = SlamPipeline(cfg)
+    offs = []
+    for i, scan in enumerate(frames[:n_off]):
+        off.process_scan(scan, time=0.1 * i)
+        offs.append(off.pose.copy())
+    ate_off = _ate(np.stack(offs), gts[:n_off])
+    ate_rt_prefix = _ate(traj[:n_off], gts[:n_off])
+
     return dict(
         frames=n_frames,
         points_per_scan=n_pts,
-        mapper_hz=round(1.0 / float(np.mean(core)), 2),
-        p50_scan_ms=round(float(np.percentile(core, 50)) * 1e3, 2),
-        p95_scan_ms=round(float(np.percentile(core, 95)) * 1e3, 2),
-        submaps=len(pipe.submaps.submaps),
-        loop_closures=loops,
+        mapper_hz=round(mapper_hz, 2),
+        p50_scan_ms=round(float(np.percentile(paced_core, 50)) * 1e3, 2),
+        p95_scan_ms=round(float(np.percentile(paced_core, 95)) * 1e3, 2),
+        throughput_p50_dispatch_ms=round(float(np.percentile(core, 50)) * 1e3, 2),
+        throughput_p95_ms=round(float(np.percentile(core, 95)) * 1e3, 2),
+        submaps=len(rt.submaps.submaps),
+        loop_closures=rt.loop_closure_count,
+        pose_graph_solves=rt.pose_graph_solves,
+        carving_enabled=cfg.submaps.carve_every_n > 0,
+        dense_map_points=int(len(rt.dense_map_points())),
         ate_p50_m=round(float(np.median(ate)), 4),
         ate_max_m=round(float(np.max(ate)), 4),
+        offline_ate_p50_m=round(float(np.median(ate_off)), 4),
+        realtime_prefix_ate_p50_m=round(float(np.median(ate_rt_prefix)), 4),
         wall_s_total=round(wall, 1),
+        mode="realtime poll_every=8; p50/p95 from paced poll_every=1 segment",
+    )
+
+
+def run_pipeline_bench_64k(n_frames=80, smoke=False):
+    """The 64k-points-per-scan variant of the e2e pipeline (single lap, no
+    carving/dense map — isolates big-scan throughput)."""
+    from open3d_slam_private_tpu.slam.realtime import RealtimePipeline
+
+    n_pts = 4096 if smoke else 65536
+    scene = synth_scene(20_000 if smoke else 400_000)
+    cfg = _pipeline_cfg(smoke=smoke, carve=False, dense=False, loopy=False)
+    frames, gts = _frames_for_run(scene, n_frames, n_pts, speed=0.32)
+    rt = RealtimePipeline(cfg, poll_every=8)
+    warm = 5 if smoke else 15
+    t0 = time.perf_counter()
+    t_warm = t0
+    for i, scan in enumerate(frames):
+        rt.process_scan(scan, time=0.1 * i)
+        if i == warm - 1:
+            rt.poll()
+            t_warm = time.perf_counter()
+    rt.poll()
+    wall = time.perf_counter() - t0
+    core_wall = time.perf_counter() - t_warm
+    rt.finish(wait_loop_closures=False)
+    traj = rt.trajectory()
+    ate = _ate(traj, gts)
+    return dict(
+        frames=n_frames,
+        points_per_scan=n_pts,
+        mapper_hz=round((n_frames - warm) / max(core_wall, 1e-9), 2),
+        wall_s_total=round(wall, 1),
+        ate_p50_m=round(float(np.median(ate)), 4),
+        ate_max_m=round(float(np.max(ate)), 4),
+        submaps=len(rt.submaps.submaps),
+    )
+
+
+def run_multisession_bench(smoke=False):
+    """Multi-session merge row (BASELINE north-star workload: inter-session
+    submap registrations + joint pose-graph GN; ≙ SlamWrapper.cpp:421-432 +
+    OptimizationProblem.cpp): two synthetic sessions over a shared world,
+    timed ``merge_sessions`` with a known coarse alignment (the
+    registration + graph phases; coarse FPFH alignment is benched
+    separately by the relocalization row)."""
+    from open3d_slam_private_tpu.geometry import se3
+    from open3d_slam_private_tpu.ops import pointcloud as pc
+    from open3d_slam_private_tpu.slam import multi_session as ms
+    from open3d_slam_private_tpu.slam import submap_collection as sc
+
+    rng = np.random.default_rng(7)
+    n_world = 20_000 if smoke else 140_000
+    n_g = n_world // 2
+    ground = np.c_[rng.uniform(0, 36, (n_g, 1)), rng.uniform(-6, 6, (n_g, 1)),
+                   rng.normal(0, 0.01, (n_g, 1))]
+    rest = []
+    m = (n_world - n_g) // 12
+    for x, h in [(2.5, 3.0), (7.0, 4.5), (10.5, 2.0), (17.0, 5.0),
+                 (24.5, 3.5), (31.0, 2.5)]:
+        rest.append(np.c_[np.full((m, 1), x), rng.uniform(-6, 6, (m, 1)),
+                          rng.uniform(0, h, (m, 1))])
+    for x0, x1, y, h in [(0, 5, 6.0, 4.0), (5, 13, -6.0, 2.5),
+                         (13, 19, 6.0, 5.0), (19, 24, -6.0, 3.0),
+                         (24, 31, 6.0, 2.0), (31, 36, -6.0, 4.5)]:
+        rest.append(np.c_[rng.uniform(x0, x1, (m, 1)),
+                          np.full((m, 1), y), rng.uniform(0, h, (m, 1))])
+    world = np.vstack([ground] + rest).astype(np.float32)
+    world += rng.normal(size=world.shape).astype(np.float32) * 0.01
+
+    def build_session(poses_x, T_session_world):
+        cfg = sc.SubmapCollectionConfig(
+            submap_capacity=16384, submap_voxel_size=0.1,
+            submap_crop_radius=20.0, creation_radius=7.0,
+            activation_radius=8.0, min_scans_before_switch=1,
+        )
+        coll = sc.SubmapCollection(cfg)
+        for x in poses_x:
+            pose_w = np.eye(4)
+            pose_w[:3, 3] = [x, 0.0, 1.2]
+            d = np.linalg.norm(world - pose_w[:3, 3][None, :], axis=1)
+            near = world[d < 12.0]
+            sel = near[rng.choice(len(near), size=min(4000, len(near)),
+                                  replace=False)]
+            scan = (np.linalg.inv(pose_w)[:3, :3] @ sel.T).T + np.linalg.inv(pose_w)[:3, 3]
+            pose_s = T_session_world @ pose_w
+            coll.insert_scan(
+                pc.from_points(scan.astype(np.float32), capacity=4096),
+                pose_s, pose_s,
+            )
+        for i in range(len(coll.submaps)):
+            coll._finish(i)
+        return coll
+
+    T_ab_true = np.asarray(
+        se3.exp_se3(jnp.asarray([0.0, 0.0, 0.25, 2.0, -1.5, 0.0], jnp.float32)),
+        np.float64,
+    )
+    a = build_session([2, 6, 10, 14, 18], np.eye(4))
+    b = build_session([14, 18, 22, 26, 30, 34], np.linalg.inv(T_ab_true))
+    # ~0.15 m / ~1.7 deg coarse error, like a real global alignment output.
+    T_coarse = T_ab_true @ np.asarray(
+        se3.exp_se3(jnp.asarray([0.01, -0.02, 0.015, 0.08, -0.06, 0.05],
+                                jnp.float32)), np.float64)
+    cfg = ms.MultiSessionConfig(scan_capacity=8192, batch_size=4,
+                                pair_distance=15.0)
+    t0 = time.perf_counter()
+    res = ms.merge_sessions(a, b, cfg, T_ab=T_coarse)
+    wall = time.perf_counter() - t0
+    if res is None:
+        return {"error": "merge produced no constraints"}
+    d = np.linalg.inv(res.T_ab) @ T_ab_true
+    return dict(
+        wall_s=round(wall, 2),
+        submaps_a=len(a.submaps),
+        submaps_b=len(b.submaps),
+        constraints=len(res.constraints),
+        accepted_constraints_per_s=round(len(res.constraints) / wall, 2),
+        T_ab_err_m=round(float(np.linalg.norm(d[:3, 3])), 4),
+        chi2_before=round(res.chi2_before, 3),
+        chi2_after=round(res.chi2_after, 3),
     )
 
 
@@ -689,11 +890,22 @@ def main():
     # submap switches and loop closures on a closed-loop trajectory.
     # ------------------------------------------------------------------
     try:
-        pipe_stats = run_pipeline_bench(n_frames=25 if SMOKE else 220,
+        pipe_stats = run_pipeline_bench(n_frames=25 if SMOKE else 340,
                                         n_pts=2048 if SMOKE else 8192, smoke=SMOKE)
     except Exception as e:  # keep the headline alive if the e2e leg breaks
         pipe_stats = {"error": f"{type(e).__name__}: {e}"}
-    progress(f"timed: pipeline {pipe_stats}; emitting JSON")
+    progress(f"timed: pipeline {pipe_stats}")
+    try:
+        pipe64_stats = run_pipeline_bench_64k(n_frames=20 if SMOKE else 80,
+                                              smoke=SMOKE)
+    except Exception as e:
+        pipe64_stats = {"error": f"{type(e).__name__}: {e}"}
+    progress(f"timed: pipeline-64k {pipe64_stats}")
+    try:
+        ms_stats = run_multisession_bench(smoke=SMOKE)
+    except Exception as e:
+        ms_stats = {"error": f"{type(e).__name__}: {e}"}
+    progress(f"timed: multisession {ms_stats}; emitting JSON")
 
     baseline_per_chip = 250.0  # 2000/s on 8 chips
     print(
@@ -731,6 +943,8 @@ def main():
                     "odometry_scan_to_scan_32k_per_s": round(odo_per_s, 2),
                     "gicp_scan_to_map_64k_per_s": round(gicp_per_s, 2),
                     "pipeline_e2e": pipe_stats,
+                    "pipeline_e2e_64k": pipe64_stats,
+                    "multisession_merge": ms_stats,
                     "device": str(jax.devices()[0]),
                 },
             }
