@@ -328,24 +328,88 @@ def _seq_summary(tag, traj, wall, n_frames, n_pts, extra=None):
     return d, ate
 
 
+def run_lc_efficacy(n_frames=340, n_pts=8192):
+    """Protocol 4 (round 4): loop-closure efficacy at scale. The loopy
+    two-lap trajectory (the bench e2e scenario: ~30 submaps, many loop
+    closures, in-pipeline PCG) is run through the REALTIME pipeline twice —
+    loop closure ON vs OFF — on identical scans; the ON run must measurably
+    reduce ATE (≙ what PlaceRecognition.cpp:231-284 +
+    OptimizationProblem.cpp:25-121 exist to do)."""
+    import dataclasses as _dc
+
+    from bench import _ate, _frames_for_run, _pipeline_cfg, synth_scene
+    from open3d_slam_private_tpu.slam.realtime import RealtimePipeline
+
+    scene = synth_scene(200_000)
+    frames, gts = _frames_for_run(scene, n_frames, n_pts)
+    out = {}
+    for tag, lc in [("lc_on", True), ("lc_off", False)]:
+        cfg = _pipeline_cfg()
+        if not lc:
+            cfg = _dc.replace(cfg, loop_closure_enabled=False)
+        rt = RealtimePipeline(cfg, poll_every=8)
+        t0 = time.perf_counter()
+        for i, scan in enumerate(frames):
+            rt.process_scan(scan, time=0.1 * i)
+        rt.poll()
+        wall = time.perf_counter() - t0
+        rt.finish()
+        ate = _ate(rt.trajectory(), gts)
+        out[tag] = dict(
+            ate_p50_m=float(np.median(ate)),
+            ate_p95_m=float(np.percentile(ate, 95)),
+            ate_max_m=float(np.max(ate)),
+            # Second-lap ATE is where loop closures earn their keep.
+            ate_lap2_p50_m=float(np.median(ate[n_frames // 2:])),
+            ate_lap2_max_m=float(np.max(ate[n_frames // 2:])),
+            submaps=len(rt.submaps.submaps),
+            loop_closures=rt.loop_closure_count,
+            pose_graph_solves=rt.pose_graph_solves,
+            wall_s=round(wall, 1),
+        )
+        out[tag + "_series"] = ate
+        print(f"  lc-efficacy {tag}: "
+              f"{ {k: (round(v, 4) if isinstance(v, float) else v) for k, v in out[tag].items()} }",
+              flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=250)
+    ap.add_argument("--lc-frames", type=int, default=340)
     ap.add_argument("--quick", action="store_true",
                     help="30-frame protocol 3, skip protocol 1/2 (smoke)")
+    ap.add_argument("--device-reps", type=int, default=5,
+                    help="chained reps for honest per-pair device timing")
     args = ap.parse_args()
 
-    report = os.path.join(REPO, "EVAL_r03.csv")
+    report = os.path.join(REPO, "EVAL_r04.csv")
     dev = str(jax.devices()[0])
-    rows_out = []
 
+    proto_summaries = {}
     if not args.quick:
         cases = pair_cases()
-        results, summary = evaluation.evaluate(cases, PAIR_CFG)
+        results, summary = evaluation.evaluate(
+            cases, PAIR_CFG, device_timing_reps=args.device_reps
+        )
         for r in results:
             print(f"{r.name:36s} trans={r.trans_err_m:.4f}m rot={r.rot_err_rad:.5f}rad "
                   f"it={r.iterations} conv={r.converged}")
         print("pair summary:", summary)
+
+        # Official protocol presets over the same real pairs (round-4 item:
+        # Besl92/Chen91 on the accelerator with per-pair device time;
+        # ≙ evaluations/official_solutions/*.yaml via eval_solution.cpp:662).
+        for proto in sorted(evaluation.PROTOCOLS):
+            cfgp, rchain, refchain = evaluation.protocol_config(proto)
+            _, psum = evaluation.evaluate(
+                cases, cfgp,
+                reading_filters=rchain, reference_filters=refchain,
+                device_timing_reps=args.device_reps,
+            )
+            proto_summaries[proto] = psum
+            print(f"protocol preset {proto}:", psum)
 
         step, step_wall = run_sim_sequence(ramped=False)
         step_sum, step_ate = _seq_summary("sim_step", step, step_wall, 40, 8192)
@@ -363,6 +427,8 @@ def main():
     print("real-seq:", {k: (round(v, 5) if isinstance(v, float) else v)
                         for k, v in real_sum.items()})
 
+    lc = run_lc_efficacy(n_frames=30 if args.quick else args.lc_frames)
+
     with open(report, "w", newline="") as f:
         w = csv.writer(f)
         if not args.quick:
@@ -374,6 +440,13 @@ def main():
                             r.iterations, r.converged, f"{r.overlap:.4f}", f"{r.wall_s:.3f}"])
             for k, v in summary.items():
                 w.writerow([f"pair_{k}", v])
+            w.writerow([])
+            w.writerow(["# protocol 1b: official protocol presets "
+                        "(evaluations/official_solutions) over the same pairs; "
+                        "device_p50_s = honest chained device time"])
+            for proto, psum in proto_summaries.items():
+                for k, v in psum.items():
+                    w.writerow([f"{proto}_{k}", v])
             w.writerow([])
             w.writerow(["# protocol 2: simulated spinning-LiDAR drive, step vs ramped "
                         "acceleration. Round 2's frame-2 0.29 m transient reproduces "
@@ -395,6 +468,19 @@ def main():
             w.writerow([i, f"{te:.5f}", f"{re_:.6f}"])
         for k, v in real_sum.items():
             w.writerow([k, v])
+        w.writerow([])
+        w.writerow(["# protocol 4: loop-closure efficacy at scale — the loopy "
+                    "two-lap trajectory (realtime pipeline, carving + dense map, "
+                    "PCG-sized pose graph) with loop closure ON vs OFF on "
+                    "identical scans. Device", dev])
+        w.writerow(["frame", "lc_on_ate_m", "lc_off_ate_m"])
+        for i, (a_on, a_off) in enumerate(
+            zip(lc["lc_on_series"], lc["lc_off_series"])
+        ):
+            w.writerow([i, f"{a_on:.5f}", f"{a_off:.5f}"])
+        for tag in ("lc_on", "lc_off"):
+            for k, v in lc[tag].items():
+                w.writerow([f"{tag}_{k}", v])
     print(f"report written to {report}")
 
 
