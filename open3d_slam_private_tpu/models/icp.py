@@ -185,6 +185,17 @@ class ICPConfig:
     # back to the XLA path unless O3S_FUSED_INTERPRET=1.
     select_kernel: bool = False
 
+    # Round-4 fused DMA-gather + rank + select kernel
+    # (kernels/gather_select_pallas.py): the per-round selection does its
+    # OWN per-row DMA gather from the HBM cell table (waves of 128
+    # outstanding copies — measured at XLA's ~78 M rows/s gather ceiling)
+    # and ranks in-VMEM, so the [N, cap, 8] candidate intermediate never
+    # materializes in HBM at all (the reason the standalone select_kernel
+    # regressed in-chain). Same knn=1 winner semantics/parity notes as
+    # select_kernel; takes priority over it when both are set. Off-TPU
+    # falls back to the XLA path unless O3S_FUSED_INTERPRET=1.
+    gather_kernel: bool = False
+
     # Moment-cached GN rounds (GICP): with pairs, weights and the per-pair
     # GICP precisions M frozen per refresh round, A(T) and b(T) are exact
     # contractions of round-start second-order moment tensors with (R, t) —
@@ -848,21 +859,43 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             var_md[:, None] ** 2 if var_md is not None else cfg.max_match_dist**2
         )
 
-        select_kernel_ok = (
-            cfg.select_kernel
-            and cfg.matcher == "grid"
+        _kernel_backend_ok = (
+            jax.default_backend() == "tpu"
+            or bool(int(os.environ.get("O3S_FUSED_INTERPRET", "0")))
+        )
+        _kernel_shape_ok = (
+            cfg.matcher == "grid"
             and not cfg.packed_payload
             and cfg.knn == 1
             and var_md is None
-            and (
-                jax.default_backend() == "tpu"
-                or bool(int(os.environ.get("O3S_FUSED_INTERPRET", "0")))
-            )
+        )
+        gather_kernel_ok = cfg.gather_kernel and _kernel_shape_ok and _kernel_backend_ok
+        select_kernel_ok = (
+            cfg.select_kernel
+            and not gather_kernel_ok
+            and _kernel_shape_ok
+            and _kernel_backend_ok
         )
 
         def round_body(s):
             src0 = se3.apply_transform(s["T"], reading.xyz)
-            if select_kernel_ok:
+            if gather_kernel_ok:
+                from open3d_slam_private_tpu.kernels import (
+                    gather_select_pallas as gsk,
+                )
+                from open3d_slam_private_tpu.kernels import select_pallas as selk
+
+                flat = ref.grid.table.reshape(ref.grid.table_size, -1)
+                cellq = jnp.floor(src0 / ref.grid.cell_size).astype(jnp.int32)
+                hh = grid_mod._cell_hash(cellq, ref.grid.table_size)
+                sel = gsk.gather_select(flat, hh, src0, reading.mask)
+                res0 = selk.match_result_from_selected(
+                    sel, reading.mask, cfg.max_match_dist**2
+                )
+                full_rows = sel[:, 8] >= ref.grid.list_cap
+                sat = _allsum(jnp.sum((full_rows & reading.mask).astype(dtype))) / n_valid
+                s = dict(s, row_sat=jnp.where(s["done"], s["row_sat"], sat))
+            elif select_kernel_ok:
                 from open3d_slam_private_tpu.kernels import select_pallas as selk
 
                 flat = ref.grid.table.reshape(ref.grid.table_size, -1)
@@ -901,7 +934,7 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                     cfg.knn,
                 )
 
-            if not select_kernel_ok:
+            if not (select_kernel_ok or gather_kernel_ok):
                 # Matcher recall counter: queries whose candidate row is FULL
                 # may have lost a nearer neighbour to capacity pressure
                 # (MatchersImpl.cpp visit-counter analogue). Frozen on `done`

@@ -101,3 +101,88 @@ def test_chain_select_kernel_matches_xla_path(rng):
     err = T_k @ T_true
     assert np.linalg.norm(err[:3, 3]) < 5e-2  # scene-bound; parity above is the real check
     assert np.isfinite(float(res_k.match_row_saturation))
+
+
+def test_gather_select_kernel_matches_match_from_candidates(rng):
+    """Round-4 fused DMA-gather + rank kernel: same winner contract as the
+    XLA gather + match_from_candidates path (interpret-mode DMA)."""
+    from open3d_slam_private_tpu.kernels import gather_select_pallas as gsk
+
+    scene = _scene(rng)
+    ref_b = pc.from_points(scene, capacity=8192)
+    g = grid_mod.build_grid(ref_b.padded_xyz(), ref_b.mask, 1.0, 1 << 12, 32)
+    ref_b = normals_mod.estimate_normals_grid(ref_b, g, knn=8, max_dist=1.0)
+    cl = cell_mod.build_cell_list(
+        ref_b.padded_xyz(), ref_b.mask, 0.5, table_size=1 << 12, list_cap=24,
+        normals=ref_b.normals)
+    q = jnp.asarray(scene[:1500] + 0.05 * rng.normal(size=(1500, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=(1500,)) > 0.05)
+
+    rows, valid = cell_mod.gather_cell_candidates(cl, q, mask)
+    want = grid_mod.match_from_candidates(rows, valid, q, mask, 0.5, 1)
+
+    flat = cl.table.reshape(cl.table_size, -1)
+    cellq = jnp.floor(q / cl.cell_size).astype(jnp.int32)
+    h = grid_mod._cell_hash(cellq, cl.table_size)
+    sel = gsk.gather_select(flat, h, q, mask)
+    got = selk.match_result_from_selected(sel, mask, 0.25)
+
+    agree = float(np.mean(np.asarray(got.ids) == np.asarray(want.ids)))
+    assert agree > 0.999
+    same = np.asarray(got.ids == want.ids)[:, 0]
+    np.testing.assert_allclose(np.asarray(got.xyz)[same], np.asarray(want.xyz)[same],
+                               atol=1e-6)
+    d_g, d_w = np.asarray(got.dists)[same], np.asarray(want.dists)[same]
+    fin = np.isfinite(d_w)
+    np.testing.assert_allclose(d_g[fin], d_w[fin], rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() == "tpu",
+    reason="interpret-mode chain tier runs on CPU; the TPU number comes "
+    "from the bench/probe (kernels are benchmarked, not unit-timed, on "
+    "the shared relay chip)",
+)
+def test_chain_gather_kernel_matches_xla_path(rng):
+    """The fused DMA-gather kernel inside the full cached-round chain (and
+    under vmap) matches the XLA selection path."""
+    import jax
+
+    scene = _scene(rng)
+    ref_b = pc.from_points(scene, capacity=8192)
+    g = grid_mod.build_grid(ref_b.padded_xyz(), ref_b.mask, 1.0, 1 << 12, 32)
+    ref_b = normals_mod.estimate_normals_grid(ref_b, g, knn=8, max_dist=1.0)
+    T_true = np.asarray(se3.exp_se3(jnp.asarray(
+        [0.008, -0.005, 0.01, 0.04, -0.03, 0.02], jnp.float32)))
+    moved = (scene[:3000] @ T_true[:3, :3].T + T_true[:3, 3]).astype(np.float32)
+    reading = pc.from_points(moved, capacity=4096)
+
+    base = icp_mod.ICPConfig(
+        knn=1, max_match_dist=0.5, matcher="grid", grid_table_size=1 << 12,
+        grid_bucket_cap=24, trimmed_ratio=0.9, fast_trimming=True,
+        minimizer="point_to_plane", max_iterations=10,
+        candidate_refresh_every=5, candidate_slack=0.25, moment_cached=False,
+    )
+    res_x = icp_mod.register_pair(reading, ref_b, jnp.eye(4), base)
+    res_k = icp_mod.register_pair(
+        reading, ref_b, jnp.eye(4),
+        dataclasses.replace(base, gather_kernel=True))
+    T_x, T_k = np.asarray(res_x.transform), np.asarray(res_k.transform)
+    delta = np.linalg.inv(T_k) @ T_x
+    assert np.linalg.norm(delta[:3, 3]) < 1e-4
+    assert np.isfinite(float(res_k.match_row_saturation))
+
+    # Batched (vmapped) chain — the production bench shape.
+    ref_obj = icp_mod.build_reference(ref_b, base)
+    readings = pc.stack([reading, reading])
+    Ts = jnp.stack([jnp.eye(4), jnp.eye(4)])
+    out = jax.jit(
+        lambda r, T: jax.vmap(
+            lambda rr, TT: icp_mod.icp_single(
+                rr, ref_obj, TT, dataclasses.replace(base, gather_kernel=True)
+            ).transform
+        )(r, T)
+    )(readings, Ts)
+    for i in range(2):
+        dd = np.linalg.inv(np.asarray(out[i])) @ T_k
+        assert np.linalg.norm(dd[:3, 3]) < 1e-5
