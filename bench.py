@@ -230,6 +230,9 @@ def run_pipeline_bench(n_frames=340, n_pts=8192, smoke=False):
 
     # --- throughput mode (poll_every=8) over the full loopy run ---
     rt = RealtimePipeline(cfg, poll_every=8)
+    progress("pipeline: warming critical-path programs")
+    rt.warmup(frames[0])
+    progress("pipeline: warm; streaming")
     lats = []
     t_all0 = time.perf_counter()
     for i, scan in enumerate(frames):
@@ -301,6 +304,7 @@ def run_pipeline_bench_64k(n_frames=80, smoke=False):
     cfg = _pipeline_cfg(smoke=smoke, carve=False, dense=False, loopy=False)
     frames, gts = _frames_for_run(scene, n_frames, n_pts, speed=0.32)
     rt = RealtimePipeline(cfg, poll_every=8)
+    rt.warmup(frames[0])
     warm = 5 if smoke else 15
     t0 = time.perf_counter()
     t_warm = t0

@@ -288,6 +288,72 @@ def rt_step(
     return new_state, stats
 
 
+# ---------------------------------------------------------------------------
+# Packed-u16 scan upload: the host<->device link (not the TPU) is the
+# realtime bottleneck on relay-attached setups — a scan pytree is 3+
+# separate transfers of ~20 B/point. The packed path ships ONE [N, 4]
+# uint16 array (x, y, z quantized over the scan AABB, ~1.5 mm at 100 m
+# span; sweep phase in [0, 1] quantized to 16 bits; 0xFFFF phase =
+# invalid point) plus an 8-float header — 8 B/point, one object.
+# ---------------------------------------------------------------------------
+
+
+def pack_scan_u16(scan_xyz: np.ndarray, mask: np.ndarray,
+                  times: Optional[np.ndarray]) -> tuple:
+    """Host-side packing -> (packed [N,4] u16, header [8] f32)."""
+    xyz = np.asarray(scan_xyz, np.float32)
+    m = np.asarray(mask, bool)
+    n = xyz.shape[0]
+    if m.any():
+        lo = xyz[m].min(axis=0)
+        hi = xyz[m].max(axis=0)
+    else:
+        lo = np.zeros(3, np.float32)
+        hi = np.ones(3, np.float32)
+    span = np.maximum(hi - lo, 1e-6)
+    q = np.zeros((n, 4), np.uint16)
+    qf = np.clip((xyz - lo) / span * 65535.0 + 0.5, 0, 65535)
+    q[:, :3] = qf.astype(np.uint16)
+    if times is not None:
+        t = np.clip(np.asarray(times, np.float32).reshape(n), 0.0, 1.0)
+        q[:, 3] = np.minimum((t * 65534.0 + 0.5).astype(np.uint32), 65534).astype(np.uint16)
+    q[~m, 3] = 0xFFFF
+    header = np.zeros(8, np.float32)
+    header[:3] = lo
+    header[3:6] = span
+    header[6] = 1.0 if times is not None else 0.0
+    return q, header
+
+
+def _unpack_scan_u16(packed: jax.Array, header: jax.Array,
+                     has_times: bool) -> pc.PointBatch:
+    q = packed.astype(jnp.float32)
+    lo = header[:3]
+    span = header[3:6]
+    xyz = q[:, :3] / 65535.0 * span[None, :] + lo[None, :]
+    mask = packed[:, 3] != jnp.uint16(0xFFFF)
+    xyz = jnp.where(mask[:, None], xyz, pc.PAD_COORD)
+    extras = {}
+    if has_times:
+        extras["times"] = (q[:, 3:4] / 65534.0)
+    return pc.PointBatch(xyz=xyz, mask=mask, extras=extras)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "has_times"))
+def rt_step_packed(
+    state: RtState,
+    packed: jax.Array,
+    header: jax.Array,
+    dt: jax.Array,
+    ext_motion: jax.Array,
+    cfg: SlamConfig,
+    has_times: bool = True,
+):
+    """:func:`rt_step` over a packed-u16 scan (one H2D object)."""
+    scan = _unpack_scan_u16(packed, header, has_times)
+    return rt_step(state, scan, dt, ext_motion, cfg)
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def _seed_bank(
     old: submap_mod.SubmapState,
@@ -358,8 +424,12 @@ class RealtimePipeline:
         cfg: Optional[SlamConfig] = None,
         poll_every: int = 8,
         loop_closure_async: bool = True,
+        h2d_mode: str = "pytree",
     ):
+        if h2d_mode not in ("pytree", "packed"):
+            raise ValueError(f"h2d_mode must be 'pytree' or 'packed', got {h2d_mode!r}")
         self.cfg = cfg or SlamConfig()
+        self.h2d_mode = h2d_mode
         self.poll_every = max(1, int(poll_every))
         self.submaps = SubmapCollection(self.cfg.submaps)
         self._state: Optional[RtState] = None
@@ -395,6 +465,38 @@ class RealtimePipeline:
     # ------------------------------------------------------------------
     # Ingestion.
     # ------------------------------------------------------------------
+
+    def warmup(self, example_scan: pc.PointBatch) -> None:
+        """Compile every mapping-critical-path program (init, step, packed
+        step, submap seeding, the stats-poll stack) on throwaway state
+        BEFORE streaming starts, so no XLA compile lands inside the
+        real-time loop (the relay has no persistent compile cache). Loop
+        closure programs compile lazily on the worker thread — off the
+        critical path by design."""
+        cfg = self.cfg
+        state = rt_init(example_scan, jnp.eye(4, dtype=jnp.float32), cfg)
+        eye = jnp.eye(4, dtype=jnp.float32)
+        dt = jnp.asarray(0.1, jnp.float32)
+        state2, stats = rt_step(state, example_scan, dt, eye, cfg)
+        if self.h2d_mode == "packed":
+            times = None
+            if "times" in example_scan.extras:
+                times = np.asarray(example_scan.extras["times"])[..., 0]
+            packed, header = pack_scan_u16(
+                np.asarray(example_scan.xyz), np.asarray(example_scan.mask), times
+            )
+            _, stats = rt_step_packed(
+                state2, jnp.asarray(packed), jnp.asarray(header), dt, eye, cfg,
+                has_times=times is not None,
+            )
+        _seed_bank(
+            state2.bank,
+            jnp.zeros(3, jnp.float32),
+            cfg.submaps.submap_voxel_size,
+            cfg.mapper.map_patch_radius,
+            capacity=cfg.submaps.submap_capacity,
+        )
+        np.asarray(jnp.stack([stats] * self.poll_every))  # poll program + sync
 
     def add_imu(self, time: float, acc, gyro) -> None:
         self.imu_buffer.push(time, acc, gyro)
@@ -488,13 +590,30 @@ class RealtimePipeline:
         else:
             ext_motion = np.eye(4)
 
-        self._state, stats = rt_step(
-            self._state,
-            scan,
-            jnp.asarray(dt, jnp.float32),
-            jnp.asarray(ext_motion, jnp.float32),
-            cfg,
-        )
+        if self.h2d_mode == "packed":
+            times = None
+            if "times" in scan.extras:
+                times = np.asarray(scan.extras["times"])[..., 0]
+            packed, header = pack_scan_u16(
+                np.asarray(scan.xyz), np.asarray(scan.mask), times
+            )
+            self._state, stats = rt_step_packed(
+                self._state,
+                jnp.asarray(packed),
+                jnp.asarray(header),
+                jnp.asarray(dt, jnp.float32),
+                jnp.asarray(ext_motion, jnp.float32),
+                cfg,
+                has_times=times is not None,
+            )
+        else:
+            self._state, stats = rt_step(
+                self._state,
+                scan,
+                jnp.asarray(dt, jnp.float32),
+                jnp.asarray(ext_motion, jnp.float32),
+                cfg,
+            )
         self._pending.append(stats)
         self._pending_meta.append(len(self.frames))
         self.frames.append(rec)

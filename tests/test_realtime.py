@@ -188,3 +188,44 @@ def test_realtime_submap_switch_and_loop_closure():
     assert np.median(a) < 0.15
     # Export paths stay alive after the run.
     assert rt.assembled_map().shape[0] > 0
+
+
+def test_packed_h2d_mode_matches_pytree():
+    """The packed-u16 upload path (one H2D object, ~1.5 mm quantization)
+    must track the pytree path within quantization-level differences."""
+    cfg = small_cfg()
+    scans, gts = make_run(n_frames=10)
+    _, tr_py = drive(RealtimePipeline, cfg, scans, poll_every=4)
+    _, tr_pk = drive(RealtimePipeline, cfg, scans, poll_every=4, h2d_mode="packed")
+    d = np.linalg.norm(tr_py[:, :3, 3] - tr_pk[:, :3, 3], axis=-1)
+    # The ~1.5 mm quantization perturbs voxel assignments, so the sparse
+    # 1024-pt chains diverge at their own sensitivity level (same class as
+    # the realtime-vs-offline delta) — the accuracy-class check below is
+    # the meaningful one.
+    assert np.max(d) < 0.2, d
+    a_pk = ate(tr_pk, gts)
+    a_py = ate(tr_py, gts)
+    assert np.median(a_pk) < max(1.5 * np.median(a_py), 0.05)
+
+
+def test_pack_scan_u16_roundtrip():
+    from open3d_slam_private_tpu.slam.realtime import (
+        _unpack_scan_u16, pack_scan_u16)
+
+    rng = np.random.default_rng(3)
+    xyz = rng.uniform(-50, 50, (256, 3)).astype(np.float32)
+    mask = rng.uniform(size=256) > 0.1
+    times = rng.uniform(size=256).astype(np.float32)
+    packed, header = pack_scan_u16(xyz, mask, times)
+    b = _unpack_scan_u16(jnp.asarray(packed), jnp.asarray(header), True)
+    got_mask = np.asarray(b.mask)
+    np.testing.assert_array_equal(got_mask, mask)
+    err = np.abs(np.asarray(b.xyz)[mask] - xyz[mask])
+    assert err.max() < 100.0 / 65535.0 * 1.01  # span/65535 quantization
+    terr = np.abs(np.asarray(b.extras["times"])[mask, 0] - times[mask])
+    assert terr.max() < 1.5 / 65534.0
+    # no-times variant
+    p2, h2 = pack_scan_u16(xyz, mask, None)
+    b2 = _unpack_scan_u16(jnp.asarray(p2), jnp.asarray(h2), False)
+    assert "times" not in b2.extras
+    np.testing.assert_array_equal(np.asarray(b2.mask), mask)

@@ -93,12 +93,15 @@ def make_frames(n_frames, n_pts, scene):
     return frames, np.stack(gts)
 
 
-def run(n_frames, n_pts, poll_every):
+def run(n_frames, n_pts, poll_every, h2d_mode="pytree"):
     log(f"building {n_frames} frames @ {n_pts} pts")
     scene = synth_scene(200_000)
     frames, gts = make_frames(n_frames, n_pts, scene)
     cfg = build_cfg(n_pts)
-    rt = RealtimePipeline(cfg, poll_every=poll_every)
+    rt = RealtimePipeline(cfg, poll_every=poll_every, h2d_mode=h2d_mode)
+    log("warming critical-path programs")
+    rt.warmup(frames[0])
+    log("warm; streaming")
     lats = []
     t0_all = time.perf_counter()
     for i, f in enumerate(frames):
@@ -127,4 +130,5 @@ if __name__ == "__main__":
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     n_pts = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
     poll = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    run(n_frames, n_pts, poll)
+    mode = sys.argv[4] if len(sys.argv) > 4 else "pytree"
+    run(n_frames, n_pts, poll, mode)
