@@ -156,15 +156,42 @@ def _pipeline_cfg(smoke=False, carve=True, dense=True, loopy=True):
     )
 
 
-def _make_sweep(scene, n_pts):
-    import jax as _jax
+def _np_exp_se3(twists):
+    """Pure-numpy batched se(3) exp (setup-only: keeps scan synthesis off
+    the device so degraded-relay sessions still build frames fast).
+    ``twists [..., 6]`` = (omega, v) like geometry.se3.exp_se3."""
+    tw = np.asarray(twists, np.float64)
+    single = tw.ndim == 1
+    tw = np.atleast_2d(tw)
+    w, v = tw[:, :3], tw[:, 3:]
+    th = np.linalg.norm(w, axis=-1, keepdims=True)
+    th = np.maximum(th, 1e-12)
+    k = w / th
+    K = np.zeros((len(tw), 3, 3))
+    K[:, 0, 1], K[:, 0, 2] = -k[:, 2], k[:, 1]
+    K[:, 1, 0], K[:, 1, 2] = k[:, 2], -k[:, 0]
+    K[:, 2, 0], K[:, 2, 1] = -k[:, 1], k[:, 0]
+    s = np.sin(th)[..., None]
+    c = np.cos(th)[..., None]
+    eye = np.eye(3)[None]
+    R = eye + s * K + (1 - c) * (K @ K)
+    th_ = th[..., None]
+    V = eye + ((1 - c) / th_) * K + ((th_ - s) / th_) * (K @ K)
+    T = np.tile(np.eye(4)[None], (len(tw), 1, 1))
+    T[:, :3, :3] = R
+    T[:, :3, 3] = (V @ v[..., None])[..., 0]
+    small = (th[:, 0] < 1e-9)
+    if small.any():
+        T[small, :3, :3] = np.eye(3)
+        T[small, :3, 3] = v[small]
+    return T[0] if single else T
 
-    from open3d_slam_private_tpu.geometry import se3
+
+def _make_sweep(scene, n_pts):
     from open3d_slam_private_tpu.ops import pointcloud as pc
 
     def sweep(pose, twist, seed):
-        T_end = pose @ np.asarray(
-            se3.exp_se3(jnp.asarray(twist, jnp.float32)), np.float64)
+        T_end = pose @ _np_exp_se3(twist)
         local = (np.linalg.inv(T_end) @ np.c_[scene, np.ones(len(scene))].T).T[:, :3]
         az = np.degrees(np.arctan2(local[:, 1], local[:, 0]))
         r = np.linalg.norm(local, axis=1)
@@ -172,8 +199,7 @@ def _make_sweep(scene, n_pts):
         rr = np.random.default_rng(seed)
         sel = rr.choice(vis, size=n_pts, replace=len(vis) < n_pts)
         phases = ((np.radians(az[sel]) + np.pi) / (2 * np.pi)).astype(np.float32)
-        tws = jnp.asarray(phases[:, None] * np.asarray(twist, np.float32)[None, :])
-        T_p = np.asarray(_jax.vmap(se3.exp_se3)(tws), np.float64)
+        T_p = _np_exp_se3(phases[:, None] * np.asarray(twist, np.float64)[None, :])
         T_full = pose[None] @ T_p
         wpts = scene[sel].astype(np.float64)
         pts = np.einsum("kij,kj->ki", T_full[:, :3, :3].transpose(0, 2, 1),

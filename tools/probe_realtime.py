@@ -63,34 +63,9 @@ def build_cfg(n_pts):
 
 
 def make_frames(n_frames, n_pts, scene):
-    pose = np.eye(4)
-    pose[:3, 3] = [6.0, -2.0, 1.2]
-    full_twist = np.array([0.0, 0.0, 0.04, 0.32, 0.0, 0.0])
-    frames, gts = [], []
-    for i in range(n_frames):
-        a = min(max(i - 1, 0) / 5.0, 1.0)
-        twist = a * full_twist
-        T_end = pose @ np.asarray(
-            se3.exp_se3(jnp.asarray(twist, jnp.float32)), np.float64)
-        local = (np.linalg.inv(T_end) @ np.c_[scene, np.ones(len(scene))].T).T[:, :3]
-        az = np.degrees(np.arctan2(local[:, 1], local[:, 0]))
-        r = np.linalg.norm(local, axis=1)
-        vis = np.flatnonzero((np.abs(az) <= 135.0) & (r <= 40.0) & (r > 1.0))
-        rr = np.random.default_rng(1000 + i)
-        sel = rr.choice(vis, size=n_pts, replace=len(vis) < n_pts)
-        phases = ((np.radians(az[sel]) + np.pi) / (2 * np.pi)).astype(np.float32)
-        tws = jnp.asarray(phases[:, None] * np.asarray(twist, np.float32)[None, :])
-        T_p = np.asarray(jax.vmap(se3.exp_se3)(tws), np.float64)
-        T_full = pose[None] @ T_p
-        wpts = scene[sel].astype(np.float64)
-        pts = np.einsum("kij,kj->ki", T_full[:, :3, :3].transpose(0, 2, 1),
-                        wpts - T_full[:, :3, 3]).astype(np.float32)
-        pts += rr.normal(size=pts.shape).astype(np.float32) * 0.015
-        frames.append(pc.from_points(pts, capacity=n_pts,
-                                     extras={"times": phases[:, None]}))
-        gts.append(T_end.copy())
-        pose = T_end
-    return frames, np.stack(gts)
+    from bench import _frames_for_run
+
+    return _frames_for_run(scene, n_frames, n_pts, speed=0.32, yaw=0.04)
 
 
 def run(n_frames, n_pts, poll_every, h2d_mode="pytree"):
