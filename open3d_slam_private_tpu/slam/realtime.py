@@ -288,6 +288,33 @@ def rt_step(
     return new_state, stats
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def rt_step_chunk(
+    state: RtState,
+    scans: pc.PointBatch,  # stacked [K, N, ...]
+    dts: jax.Array,  # [K]
+    ext_motions: jax.Array,  # [K, 4, 4]
+    cfg: SlamConfig,
+):
+    """K sequential :func:`rt_step`\\ s in ONE device program (lax.scan).
+
+    The relay-attached host pays a per-dispatch cost that scales with the
+    step's output state (the ~36 MB RtState, dominated by the cell-list
+    table); scanning K frames per dispatch returns the state once per
+    chunk, so that cost amortizes /K while the per-frame stats come back
+    as a single [K, STATS_LEN] buffer (also replacing the K-handle stack
+    at poll time). Latency trade: the pose lags up to K frames — the
+    throughput mode of the online pipeline (≙ deep worker queues in the
+    reference); paced mode keeps K=1.
+    """
+
+    def body(st, inp):
+        scan, dt, ext = inp
+        return rt_step(st, scan, dt, ext, cfg)
+
+    return lax.scan(body, state, (scans, dts, ext_motions))
+
+
 # ---------------------------------------------------------------------------
 # Packed-u16 scan upload: the host<->device link (not the TPU) is the
 # realtime bottleneck on relay-attached setups — a scan pytree is 3+
@@ -425,11 +452,17 @@ class RealtimePipeline:
         poll_every: int = 8,
         loop_closure_async: bool = True,
         h2d_mode: str = "pytree",
+        chunk_size: int = 1,
     ):
         if h2d_mode not in ("pytree", "packed"):
             raise ValueError(f"h2d_mode must be 'pytree' or 'packed', got {h2d_mode!r}")
+        if chunk_size > 1 and h2d_mode == "packed":
+            raise ValueError("chunk_size > 1 currently requires h2d_mode='pytree'")
         self.cfg = cfg or SlamConfig()
         self.h2d_mode = h2d_mode
+        self.chunk_size = max(1, int(chunk_size))
+        self._chunk_buf: List[tuple] = []  # (scan, dt, ext, frame_idx)
+        self._pending_chunks: List[tuple] = []  # (stats [K, S] handle, frame idxs)
         self.poll_every = max(1, int(poll_every))
         self.submaps = SubmapCollection(self.cfg.submaps)
         self._state: Optional[RtState] = None
@@ -489,6 +522,12 @@ class RealtimePipeline:
                 state2, jnp.asarray(packed), jnp.asarray(header), dt, eye, cfg,
                 has_times=times is not None,
             )
+        if self.chunk_size > 1:
+            scans = pc.stack([example_scan] * self.chunk_size)
+            dts = jnp.full((self.chunk_size,), 0.1, jnp.float32)
+            exts = jnp.tile(eye, (self.chunk_size, 1, 1))
+            _, stats_c = rt_step_chunk(state2, scans, dts, exts, cfg)
+            np.asarray(stats_c)
         _seed_bank(
             state2.bank,
             jnp.zeros(3, jnp.float32),
@@ -590,6 +629,14 @@ class RealtimePipeline:
         else:
             ext_motion = np.eye(4)
 
+        if self.chunk_size > 1:
+            self._chunk_buf.append((scan, dt, ext_motion, len(self.frames)))
+            self.frames.append(rec)
+            self._last_time = time
+            self._frames_done += 1
+            if len(self._chunk_buf) >= self.chunk_size:
+                self._dispatch_chunk()
+            return
         if self.h2d_mode == "packed":
             times = None
             if "times" in scan.extras:
@@ -622,26 +669,59 @@ class RealtimePipeline:
         if len(self._pending) >= self.poll_every:
             self.poll()
 
+    def _dispatch_chunk(self) -> None:
+        """Stack the buffered frames and run them as ONE scanned device
+        program; the chunk's [K, STATS_LEN] stats buffer becomes a single
+        pending fetch. Short buffers are padded by repeating the last scan
+        with dt ~ 0 (registers in place, below the movement gate — no
+        inserts), so one compiled chunk shape serves every dispatch."""
+        if not self._chunk_buf:
+            return
+        K = self.chunk_size
+        buf = list(self._chunk_buf)
+        self._chunk_buf = []
+        n_real = len(buf)
+        while len(buf) < K:
+            scan, _, _, _ = buf[-1]
+            buf.append((scan, 1e-4, np.eye(4), -1))
+        scans = pc.stack([b[0] for b in buf])
+        dts = jnp.asarray(np.asarray([b[1] for b in buf], np.float32))
+        exts = jnp.asarray(
+            np.stack([np.asarray(b[2], np.float32) for b in buf])
+        )
+        self._state, stats = rt_step_chunk(self._state, scans, dts, exts, self.cfg)
+        self._pending_chunks.append((stats, [b[3] for b in buf[:n_real]]))
+        self.poll()
+
     # ------------------------------------------------------------------
     # Deferred stats consumption + submap lifecycle.
     # ------------------------------------------------------------------
 
     def poll(self) -> None:
-        """Fetch all pending stats in ONE stacked transfer and run the host
+        """Fetch all pending stats (one stacked transfer for single-step
+        mode; the chunk buffers directly in chunk mode) and run the host
         bookkeeping they gate (trajectory, submap switching, loop-closure
         triggers)."""
-        if not self._pending:
+        rows_meta: List[tuple] = []
+        if self._pending:
+            stacked = np.asarray(jnp.stack(self._pending))  # one blocking fetch
+            rows_meta.extend(zip(stacked, self._pending_meta))
+            self._pending, self._pending_meta = [], []
+        if self._pending_chunks:
+            chunks = self._pending_chunks
+            self._pending_chunks = []
+            for handle, idxs in chunks:
+                arr = np.asarray(handle)  # one fetch per chunk buffer
+                rows_meta.extend((arr[k], fidx) for k, fidx in enumerate(idxs))
+        if not rows_meta:
             return
-        stacked = np.asarray(jnp.stack(self._pending))  # one blocking fetch
-        metas = self._pending_meta
-        self._pending, self._pending_meta = [], []
-        for row, fidx in zip(stacked, metas):
+        for row, fidx in rows_meta:
             rec = self.frames[fidx]
             rec.pose = row[IDX_POSE].reshape(4, 4).astype(np.float64)
             rec.inserted = bool(row[IDX_INSERTED] > 0.5)
             rec.converged = bool(row[IDX_CONVERGED] > 0.5)
             rec.degenerate = bool(row[IDX_DEGENERATE] > 0.5)
-        last = stacked[-1]
+        last = rows_meta[-1][0]
         self._last_polled_pose = last[IDX_POSE].reshape(4, 4).astype(np.float64)
         self._maybe_switch_submap(self._last_polled_pose, float(last[IDX_OCCUPANCY]))
 
@@ -845,6 +925,8 @@ class RealtimePipeline:
     def finish(self, wait_loop_closures: bool = True) -> None:
         """Drain pending stats, finish the active submap bookkeeping, and
         (optionally) wait for queued loop closures."""
+        if self._chunk_buf:
+            self._dispatch_chunk()  # flush the partial chunk (padded)
         self.poll()
         with self._registry_lock:
             if self.submaps.submaps:

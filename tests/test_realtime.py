@@ -229,3 +229,20 @@ def test_pack_scan_u16_roundtrip():
     b2 = _unpack_scan_u16(jnp.asarray(p2), jnp.asarray(h2), False)
     assert "times" not in b2.extras
     np.testing.assert_array_equal(np.asarray(b2.mask), mask)
+
+
+def test_chunked_mode_matches_single_step():
+    """chunk_size=4 (one scanned device program per 4 frames) must produce
+    the same trajectory as single-step dispatch, including a padded final
+    partial chunk."""
+    cfg = small_cfg()
+    scans, gts = make_run(n_frames=10)  # 10 = 2 full chunks + partial of 2
+    _, tr_one = drive(RealtimePipeline, cfg, scans, poll_every=4)
+    _, tr_chunk = drive(RealtimePipeline, cfg, scans, poll_every=4, chunk_size=4)
+    assert tr_chunk.shape == tr_one.shape
+    d = np.linalg.norm(tr_one[:, :3, 3] - tr_chunk[:, :3, 3], axis=-1)
+    # Same arithmetic; differences only from lifecycle-poll timing (chunk
+    # polls every 4 frames vs mixed cadence).
+    assert np.max(d) < 0.05, d
+    a = ate(tr_chunk, gts)
+    assert np.median(a) < max(1.5 * np.median(ate(tr_one, gts)), 0.05)
