@@ -78,6 +78,11 @@ def build_cell_list(
     exact condition for p to be a possible within-radius match of some query
     in c. Under capacity pressure, closest-to-cell-center points win.
     """
+    if table_size > (1 << 16):
+        raise ValueError(
+            "cell-list table_size is limited to 2^16 (the build's composite "
+            f"sort key uses 17 hash bits), got {table_size}"
+        )
     m = xyz.shape[0]
     dtype = xyz.dtype
     radius = jnp.asarray(radius, dtype)
@@ -104,13 +109,23 @@ def build_cell_list(
     h = _cell_hash(tgt_cells, table_size)  # [M, 27]
     flat_h = jnp.where(eligible, h, table_size).reshape(-1)
     flat_d = ctr_d2.reshape(-1)
-    flat_pt = jnp.repeat(jnp.arange(m, dtype=jnp.int32), 27)
 
-    # Two-key stable sort: by distance first, then stable by hash.
-    order0 = jnp.argsort(flat_d, stable=True)
-    order = order0[jnp.argsort(flat_h[order0], stable=True)]
-    s_h = flat_h[order]
-    s_pt = flat_pt[order]
+    # ONE fused stable sort over a composite 31-bit key: hash in the high
+    # bits, 14-bit quantized center-distance priority in the low bits.
+    # Replaces the former two stable argsorts + permutation gather over the
+    # 27x-expanded pair array — the dominant cost of the build (365 ms
+    # @131k on TPU; the sort is the whole build). Quantization only
+    # coarsens the retention priority under capacity pressure (ties within
+    # ~r^2/4096 break by pair index); eligibility and recall are unchanged.
+    qd = jnp.clip(
+        flat_d * (16383.0 / (4.0 * radius * radius)), 0.0, 16383.0
+    ).astype(jnp.int32)
+    key = flat_h * 16384 + qd
+    sorted_key, order = jax.lax.sort_key_val(
+        key, jnp.arange(key.shape[0], dtype=jnp.int32), is_stable=True
+    )
+    s_h = sorted_key >> 14
+    s_pt = order // 27  # flat pair index -> source point (layout [M, 27])
 
     # Rank within each equal-key run via cummax of run-start positions
     # (searchsorted is ~100x slower on TPU).
@@ -246,6 +261,11 @@ def build_cell_list_packed(
     normals: Optional[jax.Array] = None,
 ) -> CellList:
     """Packed-payload variant of :func:`build_cell_list` (16 B/slot)."""
+    if table_size > (1 << 16):
+        raise ValueError(
+            "cell-list table_size is limited to 2^16 (the build's composite "
+            f"sort key uses 17 hash bits), got {table_size}"
+        )
     m = xyz.shape[0]
     dtype = xyz.dtype
     radius = jnp.asarray(radius, dtype)
@@ -292,9 +312,15 @@ def build_cell_list_packed(
         jnp.stack([w0, w1, w2, w3], axis=-1), jnp.int32
     )
 
-    order0 = jnp.argsort(flat_d, stable=True)
-    order = order0[jnp.argsort(flat_h[order0], stable=True)]
-    s_h = flat_h[order]
+    # Same composite-key single sort as build_cell_list (see there).
+    qd = jnp.clip(
+        flat_d * (16383.0 / (4.0 * radius * radius)), 0.0, 16383.0
+    ).astype(jnp.int32)
+    key = flat_h * 16384 + qd
+    sorted_key, order = jax.lax.sort_key_val(
+        key, jnp.arange(key.shape[0], dtype=jnp.int32), is_stable=True
+    )
+    s_h = sorted_key >> 14
     first_flag = jnp.concatenate([jnp.ones((1,), bool), s_h[1:] != s_h[:-1]])
     idxs = jnp.arange(s_h.shape[0], dtype=jnp.int32)
     rank = idxs - jax.lax.cummax(jnp.where(first_flag, idxs, 0))

@@ -45,8 +45,18 @@ class MapperConfig:
     scan_capacity: int = 16384
     map_patch_radius: float = 40.0  # submap patch around robot
     reference_reinit_every: int = 10  # scans (≙ referenceCloudSettingPeriod 1 s @ 10 Hz)
+    # Registration-reference capacity: the cropped patch is COMPACTED to
+    # this many points (nearest-to-robot win under pressure) before normals
+    # + matcher-structure build, so the rebuild cost scales with the
+    # reference size rather than the full bank capacity. None = keep the
+    # bank capacity (the round-3 behavior).
+    ref_capacity: Optional[int] = 65536
     normals_knn: int = 8
     normals_radius: float = 1.0
+    # "moments": radius-capped covariance normals in one streaming pass
+    #   (the rebuild-rate production path, ~25x the knn path's speed);
+    # "knn": exact-KNN covariance (≙ SurfaceNormal.cpp semantics).
+    normals_method: str = "moments"
     min_movement_for_insertion: float = 0.1  # m (≙ minMovementBetweenMappingSteps)
     submap_voxel_size: float = 0.15
     submap_capacity: int = 131072
@@ -106,21 +116,52 @@ def process_scan_for_matching(scan: pc.PointBatch, cfg: MapperConfig) -> pc.Poin
     return s
 
 
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def compact_nearest(
+    cloud: pc.PointBatch, center: jax.Array, capacity: int
+) -> pc.PointBatch:
+    """Compact the valid points nearest ``center`` into a ``[capacity]``
+    batch (geometry only). One sort of the bank; under pressure the
+    nearest points win — the right retention rule for a local matching
+    patch (≙ the crop box the reference registers against,
+    ``ScanToMapRegistration.cpp:90-96``)."""
+    n = cloud.capacity
+    d2 = jnp.sum((cloud.xyz - center) ** 2, axis=-1)
+    key = jnp.where(cloud.mask, d2, jnp.inf)
+    _, order = jax.lax.sort_key_val(
+        key, jnp.arange(n, dtype=jnp.int32), is_stable=True
+    )
+    take = order[:capacity]
+    mask = cloud.mask[take]
+    xyz = jnp.where(mask[:, None], cloud.xyz[take], pc.PAD_COORD)
+    return pc.PointBatch(xyz=xyz, mask=mask, extras={})
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def build_map_reference(
     map_cloud: pc.PointBatch, center: jax.Array, cfg: MapperConfig
 ) -> icp_mod.ICPReference:
-    """Crop the patch around the robot, compute normals, build the grid —
-    the reference re-init step (KD-tree rebuild analogue)."""
+    """Crop the patch around the robot, compute normals, build the matcher
+    structure — the reference re-init step (KD-tree rebuild analogue,
+    ``Mapper.cpp:329-347``). Rebuild-rate cost path: patch compaction to
+    ``ref_capacity`` + streaming moment normals + single-sort cell-list
+    build."""
     patch = submap_mod.crop_around(map_cloud, center, cfg.map_patch_radius)
+    if cfg.ref_capacity is not None and cfg.ref_capacity < patch.capacity:
+        patch = compact_nearest(patch, center, cfg.ref_capacity)
     ngrid = grid_hash.build_grid(
         patch.padded_xyz(), patch.mask, 2.0 * cfg.normals_radius,
         cfg.icp.grid_table_size, 32,
     )
-    patch = normals_mod.estimate_normals_grid(
-        patch, ngrid, knn=cfg.normals_knn, max_dist=cfg.normals_radius,
-        orient_towards=center,
-    )
+    if cfg.normals_method == "moments":
+        patch = normals_mod.estimate_normals_moments(
+            patch, ngrid, max_dist=cfg.normals_radius, orient_towards=center
+        )
+    else:
+        patch = normals_mod.estimate_normals_grid(
+            patch, ngrid, knn=cfg.normals_knn, max_dist=cfg.normals_radius,
+            orient_towards=center,
+        )
     return icp_mod.build_reference(patch, cfg.icp)
 
 
