@@ -487,8 +487,13 @@ def main():
         knn=1,
         max_match_dist=0.5,
         matcher="grid",
-        grid_table_size=1 << 17,
-        grid_bucket_cap=48,  # exact recall at 0.15 m map / 0.5 m radius
+        # 2^16 cells: measured (tools/probe_r4_ab.py, same-process A/B) the
+        # half-size table lifts the row-gather-bound chain 333 -> 427 reg/s
+        # (GICP 275 -> 411) at identical accuracy, recall-drop and
+        # saturation counters vs 2^17 — the gather engine pays for table
+        # footprint, not just row count.
+        grid_table_size=1 << 16,
+        grid_bucket_cap=48,
         trimmed_ratio=0.9,
         minimizer="point_to_plane",
         max_iterations=10,

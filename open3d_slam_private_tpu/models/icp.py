@@ -869,7 +869,12 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
             and cfg.knn == 1
             and var_md is None
         )
-        gather_kernel_ok = cfg.gather_kernel and _kernel_shape_ok and _kernel_backend_ok
+        gather_kernel_ok = (
+            cfg.gather_kernel
+            and _kernel_shape_ok
+            and _kernel_backend_ok
+            and cfg.grid_bucket_cap <= 128  # candidate lanes per cell tile
+        )
         select_kernel_ok = (
             cfg.select_kernel
             and not gather_kernel_ok
@@ -885,10 +890,12 @@ def _run_gn_loop(reading, ref, T0, cfg: ICPConfig, max_iterations: int):
                 )
                 from open3d_slam_private_tpu.kernels import select_pallas as selk
 
-                flat = ref.grid.table.reshape(ref.grid.table_size, -1)
+                # Tile-shaped [T, 8, 128] view of the table: loop-invariant,
+                # XLA hoists the one-time relayout out of the while-loop.
+                tiled = gsk.tile_table(ref.grid.table)
                 cellq = jnp.floor(src0 / ref.grid.cell_size).astype(jnp.int32)
                 hh = grid_mod._cell_hash(cellq, ref.grid.table_size)
-                sel = gsk.gather_select(flat, hh, src0, reading.mask)
+                sel = gsk.gather_select(tiled, hh, src0, reading.mask)
                 res0 = selk.match_result_from_selected(
                     sel, reading.mask, cfg.max_match_dist**2
                 )

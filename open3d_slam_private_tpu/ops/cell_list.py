@@ -78,10 +78,10 @@ def build_cell_list(
     exact condition for p to be a possible within-radius match of some query
     in c. Under capacity pressure, closest-to-cell-center points win.
     """
-    if table_size > (1 << 16):
+    if table_size > (1 << 17):
         raise ValueError(
-            "cell-list table_size is limited to 2^16 (the build's composite "
-            f"sort key uses 17 hash bits), got {table_size}"
+            "cell-list table_size is limited to 2^17 (the build's composite "
+            f"sort key uses 18 hash bits + 13 priority bits), got {table_size}"
         )
     m = xyz.shape[0]
     dtype = xyz.dtype
@@ -111,20 +111,20 @@ def build_cell_list(
     flat_d = ctr_d2.reshape(-1)
 
     # ONE fused stable sort over a composite 31-bit key: hash in the high
-    # bits, 14-bit quantized center-distance priority in the low bits.
+    # bits, 13-bit quantized center-distance priority in the low bits.
     # Replaces the former two stable argsorts + permutation gather over the
     # 27x-expanded pair array — the dominant cost of the build (365 ms
     # @131k on TPU; the sort is the whole build). Quantization only
     # coarsens the retention priority under capacity pressure (ties within
     # ~r^2/4096 break by pair index); eligibility and recall are unchanged.
     qd = jnp.clip(
-        flat_d * (16383.0 / (4.0 * radius * radius)), 0.0, 16383.0
+        flat_d * (8191.0 / (4.0 * radius * radius)), 0.0, 8191.0
     ).astype(jnp.int32)
-    key = flat_h * 16384 + qd
+    key = flat_h * 8192 + qd
     sorted_key, order = jax.lax.sort_key_val(
         key, jnp.arange(key.shape[0], dtype=jnp.int32), is_stable=True
     )
-    s_h = sorted_key >> 14
+    s_h = sorted_key >> 13
     s_pt = order // 27  # flat pair index -> source point (layout [M, 27])
 
     # Rank within each equal-key run via cummax of run-start positions
@@ -261,10 +261,10 @@ def build_cell_list_packed(
     normals: Optional[jax.Array] = None,
 ) -> CellList:
     """Packed-payload variant of :func:`build_cell_list` (16 B/slot)."""
-    if table_size > (1 << 16):
+    if table_size > (1 << 17):
         raise ValueError(
-            "cell-list table_size is limited to 2^16 (the build's composite "
-            f"sort key uses 17 hash bits), got {table_size}"
+            "cell-list table_size is limited to 2^17 (the build's composite "
+            f"sort key uses 18 hash bits + 13 priority bits), got {table_size}"
         )
     m = xyz.shape[0]
     dtype = xyz.dtype
@@ -314,13 +314,13 @@ def build_cell_list_packed(
 
     # Same composite-key single sort as build_cell_list (see there).
     qd = jnp.clip(
-        flat_d * (16383.0 / (4.0 * radius * radius)), 0.0, 16383.0
+        flat_d * (8191.0 / (4.0 * radius * radius)), 0.0, 8191.0
     ).astype(jnp.int32)
-    key = flat_h * 16384 + qd
+    key = flat_h * 8192 + qd
     sorted_key, order = jax.lax.sort_key_val(
         key, jnp.arange(key.shape[0], dtype=jnp.int32), is_stable=True
     )
-    s_h = sorted_key >> 14
+    s_h = sorted_key >> 13
     first_flag = jnp.concatenate([jnp.ones((1,), bool), s_h[1:] != s_h[:-1]])
     idxs = jnp.arange(s_h.shape[0], dtype=jnp.int32)
     rank = idxs - jax.lax.cummax(jnp.where(first_flag, idxs, 0))

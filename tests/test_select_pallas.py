@@ -121,10 +121,10 @@ def test_gather_select_kernel_matches_match_from_candidates(rng):
     rows, valid = cell_mod.gather_cell_candidates(cl, q, mask)
     want = grid_mod.match_from_candidates(rows, valid, q, mask, 0.5, 1)
 
-    flat = cl.table.reshape(cl.table_size, -1)
+    tiled = gsk.tile_table(cl.table)
     cellq = jnp.floor(q / cl.cell_size).astype(jnp.int32)
     h = grid_mod._cell_hash(cellq, cl.table_size)
-    sel = gsk.gather_select(flat, h, q, mask)
+    sel = gsk.gather_select(tiled, h, q, mask)
     got = selk.match_result_from_selected(sel, mask, 0.25)
 
     agree = float(np.mean(np.asarray(got.ids) == np.asarray(want.ids)))
