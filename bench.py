@@ -112,6 +112,7 @@ def _pipeline_cfg(smoke=False, carve=True, dense=True, loopy=True):
     from open3d_slam_private_tpu.slam.odometry import OdometryConfig
     from open3d_slam_private_tpu.slam.pipeline import (
         MotionCompensationConfig, SlamConfig)
+    from open3d_slam_private_tpu.slam import place_recognition as _pr
     from open3d_slam_private_tpu.slam import pose_graph as pg
     from open3d_slam_private_tpu.slam.submap_collection import SubmapCollectionConfig
 
@@ -143,6 +144,16 @@ def _pipeline_cfg(smoke=False, carve=True, dense=True, loopy=True):
         motion_compensation=MotionCompensationConfig(enabled=True, scan_duration=0.1),
         use_imu_attitude_init=False,
         loop_closure_enabled=True,
+        # LC shares the one bench chip with mapping: bound the verify work
+        # per finished submap (2 nearest gated candidates) so the loop-
+        # closure worker cannot throttle the realtime stream. The loopy
+        # two-lap run still fires 20+ closures — enough to trip PCG and
+        # demonstrably repair drift (protocol 4 in tools/run_eval.py).
+        place_recognition=_dc.replace(
+            _pr.PlaceRecognitionConfig(),
+            max_candidate_distance=15.0,
+            max_candidates=2,
+        ),
         use_external_odometry=False,
         build_dense_map=dense,
         dense_map_voxel=0.1,

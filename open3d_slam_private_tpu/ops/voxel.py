@@ -48,12 +48,23 @@ def voxel_downsample(
     batch: PointBatch,
     voxel_size,
     capacity: Optional[int] = None,
+    priority_center=None,
 ) -> PointBatch:
     """Average all valid points (and their extra channels) per voxel.
 
     Matches the reference VoxelGrid filter's ``averageExistingValues`` mode:
     output point = centroid of the voxel's points, channels averaged
     (normals re-normalized). Output capacity defaults to the input capacity.
+
+    ``priority_center`` (optional ``[3]``): retention priority under
+    CAPACITY pressure. Without it, the surviving voxels are the first
+    ``capacity`` in packed-key (spatial half-space!) order — fine when the
+    output fits, but an active submap bank at capacity would silently drop
+    a spatial EXTREME, unmapping whatever frontier the robot drives into
+    (the 64k-pipeline divergence, tools/probe_r4_64k.py). With a center,
+    voxels are ranked near-to-far in ~4.8 m distance bands so pressure
+    sheds the FARTHEST geometry first — the bounded-local-map behavior of
+    the reference's ``voxelizeWithinCroppingVolume``.
     """
     n = batch.capacity
     if capacity is None:
@@ -66,9 +77,20 @@ def voxel_downsample(
     key_hi = jnp.where(batch.mask, key_hi, big)
     key_lo = jnp.where(batch.mask, key_lo, big)
 
-    # Lexicographic sort: stable sort by minor key, then stable by major key.
+    # Lexicographic sort: stable sort by minor key, then stable by major key
+    # (then optionally by the distance band, as the new major key — the band
+    # is a function of the CELL, so equal cells stay adjacent).
     order0 = jnp.argsort(key_lo, stable=True)
     order = order0[jnp.argsort(key_hi[order0], stable=True)]
+    if priority_center is not None:
+        center = jnp.asarray(priority_center, batch.xyz.dtype)
+        cc = (cell.astype(batch.xyz.dtype) + 0.5) * voxel_size
+        dist = jnp.linalg.norm(cc - center, axis=-1)
+        band = jnp.clip(
+            (dist / (32.0 * voxel_size)).astype(jnp.int32), 0, 63
+        )
+        band = jnp.where(batch.mask, band, jnp.int32(64))
+        order = order[jnp.argsort(band[order], stable=True)]
     s_hi, s_lo = key_hi[order], key_lo[order]
     s_xyz = batch.xyz[order]
     s_mask = batch.mask[order]

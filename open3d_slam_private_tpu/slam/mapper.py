@@ -122,12 +122,39 @@ def compact_nearest(
 ) -> pc.PointBatch:
     """Compact the valid points nearest ``center`` into a ``[capacity]``
     batch (geometry only). One sort of the bank; under pressure the
-    nearest points win — the right retention rule for a local matching
-    patch (≙ the crop box the reference registers against,
-    ``ScanToMapRegistration.cpp:90-96``)."""
+    nearest points win."""
     n = cloud.capacity
     d2 = jnp.sum((cloud.xyz - center) ** 2, axis=-1)
     key = jnp.where(cloud.mask, d2, jnp.inf)
+    _, order = jax.lax.sort_key_val(
+        key, jnp.arange(n, dtype=jnp.int32), is_stable=True
+    )
+    take = order[:capacity]
+    mask = cloud.mask[take]
+    xyz = jnp.where(mask[:, None], cloud.xyz[take], pc.PAD_COORD)
+    return pc.PointBatch(xyz=xyz, mask=mask, extras={})
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def compact_uniform(
+    cloud: pc.PointBatch, capacity: int
+) -> pc.PointBatch:
+    """Compact valid points into ``[capacity]`` with UNIFORM-random
+    retention under pressure (deterministic index-hash priority).
+
+    The registration-reference retention rule: a nearest-to-robot rule
+    collapses the patch to a ball once the bank outgrows the capacity,
+    starving X-ICP of the far structure that constrains rotation — the
+    64k pipeline diverged exactly that way (ATE 15-31 m with degenerate
+    flags, tools/probe_r4_64k.py) while uniform thinning keeps the crop's
+    full spatial extent at reduced density (matching stays exact within
+    the search radius; sensor clouds are densest near the robot anyway).
+    """
+    from open3d_slam_private_tpu.ops.grid_hash import _fmix32
+
+    n = cloud.capacity
+    pri = _fmix32(jnp.arange(n, dtype=jnp.uint32)).astype(jnp.float32)
+    key = jnp.where(cloud.mask, pri, jnp.inf)
     _, order = jax.lax.sort_key_val(
         key, jnp.arange(n, dtype=jnp.int32), is_stable=True
     )
@@ -148,7 +175,7 @@ def build_map_reference(
     build."""
     patch = submap_mod.crop_around(map_cloud, center, cfg.map_patch_radius)
     if cfg.ref_capacity is not None and cfg.ref_capacity < patch.capacity:
-        patch = compact_nearest(patch, center, cfg.ref_capacity)
+        patch = compact_uniform(patch, cfg.ref_capacity)
     ngrid = grid_hash.build_grid(
         patch.padded_xyz(), patch.mask, 2.0 * cfg.normals_radius,
         cfg.icp.grid_table_size, 32,

@@ -35,6 +35,13 @@ class PlaceRecognitionConfig:
     max_candidate_distance: float = 40.0  # anchor distance gate
     min_submaps_between_candidates: int = 2  # consecutiveness gate
     min_adjacency_distance: int = 3  # BFS hop gate (skip direct neighbours)
+    # Verify at most the K NEAREST gated candidates per finished submap
+    # (None = all). In dense submap layouts (small creation radius) the
+    # distance gate alone admits O(submaps) candidates and the verify
+    # stage — FPFH + RANSAC + ICP per candidate, on the same chip as
+    # mapping — throttles the realtime stream; the reference's gating
+    # (PlaceRecognition.cpp:231-284) exists for exactly this flood.
+    max_candidates: Optional[int] = 4
     # Coarse alignment: FPFH + device RANSAC (≙ the reference's
     # RegistrationRANSACBasedOnFeatureMatching) seeded into ICP; falls back
     # to the yaw/translation hypothesis grid when features fail.
@@ -99,8 +106,11 @@ def candidate_pairs(
         d = np.linalg.norm(e.anchor[:3, 3] - q.anchor[:3, 3])
         if d > cfg.max_candidate_distance:
             continue
-        out.append(i)
-    return out
+        out.append((d, i))
+    out.sort()
+    if cfg.max_candidates is not None:
+        out = out[: cfg.max_candidates]
+    return [i for _, i in out]
 
 
 def _seed_grid(T_anchor_rel: np.ndarray, cfg: PlaceRecognitionConfig) -> np.ndarray:

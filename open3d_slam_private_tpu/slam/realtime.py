@@ -401,7 +401,9 @@ def _seed_bank(
     patch = dataclasses.replace(patch, extras={})
     # Seed at most half the bank: a near-full seed would trip the
     # force-new saturation gate immediately and cascade submap creation.
-    seed = voxel_downsample(patch, voxel_size, capacity=capacity // 2)
+    seed = voxel_downsample(
+        patch, voxel_size, capacity=capacity // 2, priority_center=center
+    )
     cloud = pc.PointBatch(
         xyz=jnp.concatenate(
             [seed.xyz, jnp.full((capacity - capacity // 2, 3), pc.PAD_COORD)],

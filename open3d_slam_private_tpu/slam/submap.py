@@ -67,8 +67,11 @@ def insert_scan(
     3. concat with the bank and voxel-aggregate back to bank capacity —
        the fixed-shape equivalent of ``voxelizeWithinCroppingVolume``.
 
-    Voxel aggregation order puts existing bank points first, so under
-    ``capacity`` pressure old geometry wins deterministically.
+    Under ``capacity`` pressure, voxels are retained near-to-far from the
+    scan origin (``voxel_downsample(priority_center=...)``): the bank
+    sheds its farthest geometry first, keeping the frontier the robot is
+    driving into mapped (the bounded-local-map behavior of the
+    reference's crop-volume voxelizer).
     """
     cap = state.cloud.capacity
     posed = scan.transformed(T_map_scan)
@@ -87,7 +90,9 @@ def insert_scan(
         mask=jnp.concatenate([bank.mask, posed.mask], axis=0),
         extras={},
     )
-    new_cloud = voxel_downsample(merged, voxel_size, capacity=cap)
+    new_cloud = voxel_downsample(
+        merged, voxel_size, capacity=cap, priority_center=origin
+    )
     return dataclasses.replace(
         state, cloud=new_cloud, num_scans=state.num_scans + 1
     )
