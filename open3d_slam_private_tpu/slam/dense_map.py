@@ -113,56 +113,47 @@ def insert(state: DenseMapState, scan: PointBatch, T_map_scan: jax.Array) -> Den
     agg_lo = seg_sum_i(jnp.where(new_seg, s_lo, 0))
     agg_valid = agg_cnt > 0
 
-    # Match scan voxels against existing bank keys EXACTLY: lexicographic
-    # double-sort of the union (bank rows first, stable sorts keep them
-    # before equal-key scan rows), then each scan row matches iff its
-    # predecessor carries the same key and is a bank row.
-    u_hi = jnp.concatenate([state.key_hi, jnp.where(agg_valid, agg_hi, _FREE)])
-    u_lo = jnp.concatenate([state.key_lo, jnp.where(agg_valid, agg_lo, _FREE)])
-    u_slot = jnp.concatenate(
-        [jnp.arange(cap, dtype=jnp.int32), jnp.full((n,), -1, jnp.int32)]
-    )
-    u_row = jnp.concatenate(
-        [jnp.full((cap,), -1, jnp.int32), jnp.arange(n, dtype=jnp.int32)]
-    )
-    o0 = jnp.argsort(u_lo, stable=True)
-    uo = o0[jnp.argsort(u_hi[o0], stable=True)]
-    sh, sl = u_hi[uo], u_lo[uo]
-    sslot, srow = u_slot[uo], u_row[uo]
-    prev_same = jnp.concatenate(
-        [jnp.zeros((1,), bool), (sh[1:] == sh[:-1]) & (sl[1:] == sl[:-1])]
-    )
-    prev_slot = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sslot[:-1]])
-    matched_here = (srow >= 0) & prev_same & (prev_slot >= 0)
-    # Scatter back to scan-row order.
-    any_hit = jnp.zeros((n,), bool).at[jnp.maximum(srow, 0)].max(
-        matched_here, mode="drop"
-    ) & agg_valid
-    slot_existing = jnp.zeros((n,), jnp.int32).at[jnp.maximum(srow, 0)].max(
-        jnp.where(matched_here, prev_slot, 0), mode="drop"
-    )
+    # Slot resolution by OPEN ADDRESSING (hash + linear probing), fully
+    # vectorized: P rounds of gather-check / scatter-claim over the n scan
+    # voxels. The former union-sort matching re-sorted the ENTIRE bank
+    # every insert — two stable argsorts of cap+n rows ≈ 100+ ms per frame
+    # at the 1M-voxel default, which single-handedly throttled the e2e
+    # pipeline; probing touches O(n * P) elements instead and leaves the
+    # bank unsorted (export never needs key order). Unresolved voxels
+    # after P probes are dropped, like every fixed bank in this stack.
+    from open3d_slam_private_tpu.ops.grid_hash import _fmix32
 
-    # New voxels claim free slots in order.
-    free = state.key_hi == _FREE
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-    # slot index of the r-th free slot: scatter.
-    free_slots = jnp.full((cap + 1,), cap, jnp.int32)
-    free_slots = free_slots.at[jnp.where(free, free_rank, cap)].set(
-        jnp.arange(cap, dtype=jnp.int32), mode="drop"
+    P = 16
+    row_ids = jnp.arange(n, dtype=jnp.int32)
+    h0 = _fmix32(
+        jax.lax.bitcast_convert_type(agg_hi, jnp.uint32) * jnp.uint32(2654435761)
+        + jax.lax.bitcast_convert_type(agg_lo, jnp.uint32) * jnp.uint32(805459861)
     )
-    is_new = agg_valid & ~any_hit
-    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    slot_new = free_slots[jnp.clip(new_rank, 0, cap)]
+    slot_p = (h0 % jnp.uint32(cap)).astype(jnp.int32)
+    key_hi = state.key_hi
+    key_lo = state.key_lo
+    alive = agg_valid
+    slot = jnp.zeros((n,), jnp.int32)
+    resolved = jnp.zeros((n,), bool)
+    for _ in range(P):
+        cur_hi = key_hi[slot_p]
+        cur_lo = key_lo[slot_p]
+        hit = alive & (cur_hi == agg_hi) & (cur_lo == agg_lo)
+        empty = alive & (cur_hi == _FREE) & ~hit
+        # Competing claims on the same free slot: lowest row id wins.
+        claim = jnp.full((cap + 1,), n, jnp.int32)
+        claim = claim.at[jnp.where(empty, slot_p, cap)].min(row_ids, mode="drop")
+        won = empty & (claim[slot_p] == row_ids)
+        key_hi = key_hi.at[jnp.where(won, slot_p, cap)].set(agg_hi, mode="drop")
+        key_lo = key_lo.at[jnp.where(won, slot_p, cap)].set(agg_lo, mode="drop")
+        ok_now = hit | won
+        slot = jnp.where(ok_now, slot_p, slot)
+        resolved = resolved | ok_now
+        alive = alive & ~ok_now
+        slot_p = jnp.where(slot_p + 1 >= cap, 0, slot_p + 1)
 
-    slot = jnp.where(any_hit, slot_existing, slot_new)
-    ok = agg_valid & (slot < cap)
+    ok = resolved
     slot = jnp.where(ok, slot, cap)  # dropped
-
-    key_hi = state.key_hi.at[slot].set(jnp.where(ok, agg_hi, _FREE), mode="drop")
-    key_lo = state.key_lo.at[slot].set(jnp.where(ok, agg_lo, _FREE), mode="drop")
-    # Only overwrite keys for newly claimed slots; existing slots keep keys.
-    key_hi = jnp.where(state.key_hi != _FREE, state.key_hi, key_hi[:cap])
-    key_lo = jnp.where(state.key_lo != _FREE, state.key_lo, key_lo[:cap])
 
     wsel = ok.astype(xyz.dtype)
     sum_xyz = state.sum_xyz.at[slot].add(agg_xyz * wsel[:, None], mode="drop")
