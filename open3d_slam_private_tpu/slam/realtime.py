@@ -430,6 +430,11 @@ class FrameRecord:
     converged: bool = False
     degenerate: bool = False
     out_of_order: bool = False
+    # Active submap at dispatch: pose-graph increments are applied to past
+    # frames per-submap (the trajectory half of updateSubmapsAndTrajectory,
+    # SlamWrapper.cpp:1055-1090 — the reference re-anchors the past path,
+    # not only the live pose).
+    submap_idx: int = 0
 
 
 class RealtimePipeline:
@@ -475,10 +480,17 @@ class RealtimePipeline:
         self._prev_ext_pose: Optional[np.ndarray] = None
         self._initial_pose = np.eye(4)
         self._last_polled_pose = np.eye(4)
+        self._last_polled_fidx = -1
         self.imu_buffer = ImuBuffer()
         self._attitude_initialized = False
         # Submap lifecycle mirrors (host side of the collection).
         self._registry_lock = threading.Lock()
+        # Guards FrameRecord.pose + the pending-stats lists against the
+        # loop-closure worker's retroactive trajectory correction.
+        self._frames_lock = threading.Lock()
+        # fidx -> correction for frames dispatched pre-solve but polled
+        # post-solve (their device stats predate the increment).
+        self._poll_corr: Dict[int, np.ndarray] = {}
         self._scans_in_active_at_switch = 0
         self._last_switch_frame = -(10**9)
         self._frames_done = 0
@@ -538,6 +550,78 @@ class RealtimePipeline:
             capacity=cfg.submaps.submap_capacity,
         )
         np.asarray(jnp.stack([stats] * self.poll_every))  # poll program + sync
+        if self.cfg.loop_closure_enabled:
+            self._warmup_loop_closure()
+
+    def _warmup_loop_closure(self) -> None:
+        """Compile the loop-closure worker's programs (verify-candidate
+        FPFH/RANSAC/ICP stack, bank compaction/transform, pose-graph
+        solvers) on throwaway data BEFORE streaming. Without this, the
+        worker's first finished submap spends minutes compiling on the
+        relay and every solve lands after the stream — corrections that
+        can never reach the live map (measured: 42 closures, all post-run).
+        The compile cache is keyed on shapes + config, both of which match
+        the production calls exactly."""
+        cfg = self.cfg
+        rng = np.random.default_rng(0)
+        n = 16384  # build_loop_closure_constraints' scan_capacity
+        # Structured scene: ground + two walls (FPFH/RANSAC need geometry).
+        m = n // 4
+        pts = np.concatenate([
+            np.c_[rng.uniform(-8, 8, (2 * m, 2)), rng.normal(0, 0.02, (2 * m, 1))],
+            np.c_[rng.uniform(-8, 8, (m, 1)), np.full((m, 1), 8.0),
+                  rng.uniform(0, 3, (m, 1))],
+            np.c_[np.full((n - 3 * m, 1), -8.0), rng.uniform(-8, 8, (n - 3 * m, 1)),
+                  rng.uniform(0, 3, (n - 3 * m, 1))],
+        ]).astype(np.float32)
+        a = pc.from_points(pts, capacity=n)
+        b = pc.from_points(pts + np.float32([0.05, -0.03, 0.01]), capacity=n)
+        try:
+            pr.verify_candidate(a, b, np.eye(4), cfg.place_recognition)
+        except Exception:
+            pass  # compile is the goal; outcome is irrelevant
+        if cfg.place_recognition.use_fpfh_ransac:
+            # Also compile the grid-only hypothesis shape (the path taken
+            # when FPFH fails in production).
+            try:
+                pr.verify_candidate(
+                    a, b, np.eye(4),
+                    dataclasses.replace(
+                        cfg.place_recognition, use_fpfh_ransac=False
+                    ),
+                )
+            except Exception:
+                pass
+        # Bank-shaped programs the worker uses (compact + rigid transform).
+        bank = submap_mod.create(cfg.submaps.submap_capacity)
+        pc.compact(bank.cloud, n)
+        submap_mod.transform_submap(bank, jnp.eye(4, dtype=jnp.float32))
+        # Pose-graph solvers: one graph under and one over the auto-PCG
+        # threshold so both the dense and PCG programs are compiled.
+        counts = [4]
+        auto = getattr(cfg.pose_graph, "auto_pcg_nodes", None)
+        if cfg.pose_graph.solver == "auto" and auto is not None and (
+            auto + 2 <= cfg.node_capacity
+        ):
+            counts.append(auto + 2)
+        for k in counts:
+            builder = pg.PoseGraphBuilder(cfg.node_capacity, cfg.edge_capacity)
+            T = np.eye(4)
+            for i in range(k):
+                T = T.copy()
+                T[0, 3] = float(i)
+                builder.add_node(T)
+            for i in range(k - 1):
+                Trel = np.eye(4)
+                Trel[0, 3] = 1.0
+                builder.add_edge(i, i + 1, Trel)
+            loop = np.eye(4)
+            loop[0, 3] = float(k - 1) - 0.05
+            builder.add_edge(0, k - 1, loop, is_loop=True)
+            try:
+                pg.optimize(builder.build(), cfg.pose_graph)
+            except Exception:
+                pass
 
     def add_imu(self, time: float, acc, gyro) -> None:
         self.imu_buffer.push(time, acc, gyro)
@@ -567,6 +651,7 @@ class RealtimePipeline:
         if self._last_time is not None and time <= self._last_time:
             rec.out_of_order = True
             rec.pose = self._last_polled_pose.copy()
+            rec.submap_idx = self.submaps.active_idx
             self.frames.append(rec)
             return
 
@@ -607,8 +692,69 @@ class RealtimePipeline:
             self._frames_done += 1
             return
 
-        # Apply a pending loop-closure increment at the dispatch boundary
-        # (≙ checkIfOptimizedGraphAvailable on the mapping thread).
+        dt = time - (self._last_time if self._last_time is not None else time)
+        if cfg.use_external_odometry and external_odom_pose is not None:
+            ext = np.asarray(external_odom_pose, np.float64)
+            prev = self._prev_ext_pose if self._prev_ext_pose is not None else ext
+            ext_motion = np.linalg.inv(prev) @ ext
+            self._prev_ext_pose = ext
+        else:
+            ext_motion = np.eye(4)
+
+        if self.chunk_size > 1:
+            with self._frames_lock:
+                self._chunk_buf.append((scan, dt, ext_motion, len(self.frames)))
+                rec.submap_idx = self.submaps.active_idx
+                self.frames.append(rec)
+            self._last_time = time
+            self._frames_done += 1
+            if len(self._chunk_buf) >= self.chunk_size:
+                self._dispatch_chunk()
+            return
+        # One atomic dispatch section (vs the loop-closure worker): consume
+        # the pending increment, dispatch, enqueue the stats handle. The
+        # worker's retroactive pass takes the same lock, so every frame is
+        # either (a) dispatched post-increment, (b) pending -> corrected at
+        # poll via _poll_corr, or (c) polled -> corrected in place.
+        with self._frames_lock:
+            self._apply_pending_increment_locked()
+            if self.h2d_mode == "packed":
+                times = None
+                if "times" in scan.extras:
+                    times = np.asarray(scan.extras["times"])[..., 0]
+                packed, header = pack_scan_u16(
+                    np.asarray(scan.xyz), np.asarray(scan.mask), times
+                )
+                self._state, stats = rt_step_packed(
+                    self._state,
+                    jnp.asarray(packed),
+                    jnp.asarray(header),
+                    jnp.asarray(dt, jnp.float32),
+                    jnp.asarray(ext_motion, jnp.float32),
+                    cfg,
+                    has_times=times is not None,
+                )
+            else:
+                self._state, stats = rt_step(
+                    self._state,
+                    scan,
+                    jnp.asarray(dt, jnp.float32),
+                    jnp.asarray(ext_motion, jnp.float32),
+                    cfg,
+                )
+            self._pending.append(stats)
+            self._pending_meta.append(len(self.frames))
+            rec.submap_idx = self.submaps.active_idx
+            self.frames.append(rec)
+        self._last_time = time
+        self._frames_done += 1
+        if len(self._pending) >= self.poll_every:
+            self.poll()
+
+    def _apply_pending_increment_locked(self) -> None:
+        """Consume a pending loop-closure increment at the dispatch boundary
+        (≙ checkIfOptimizedGraphAvailable on the mapping thread,
+        ``SlamWrapper.cpp:949-961``). Caller holds ``_frames_lock``."""
         with self._inc_lock:
             inc = self._pending_increment
             self._pending_increment = None
@@ -622,77 +768,30 @@ class RealtimePipeline:
                 scans_since_reinit=jnp.asarray(10**6, jnp.int32),
             )
 
-        dt = time - (self._last_time if self._last_time is not None else time)
-        if cfg.use_external_odometry and external_odom_pose is not None:
-            ext = np.asarray(external_odom_pose, np.float64)
-            prev = self._prev_ext_pose if self._prev_ext_pose is not None else ext
-            ext_motion = np.linalg.inv(prev) @ ext
-            self._prev_ext_pose = ext
-        else:
-            ext_motion = np.eye(4)
-
-        if self.chunk_size > 1:
-            self._chunk_buf.append((scan, dt, ext_motion, len(self.frames)))
-            self.frames.append(rec)
-            self._last_time = time
-            self._frames_done += 1
-            if len(self._chunk_buf) >= self.chunk_size:
-                self._dispatch_chunk()
-            return
-        if self.h2d_mode == "packed":
-            times = None
-            if "times" in scan.extras:
-                times = np.asarray(scan.extras["times"])[..., 0]
-            packed, header = pack_scan_u16(
-                np.asarray(scan.xyz), np.asarray(scan.mask), times
-            )
-            self._state, stats = rt_step_packed(
-                self._state,
-                jnp.asarray(packed),
-                jnp.asarray(header),
-                jnp.asarray(dt, jnp.float32),
-                jnp.asarray(ext_motion, jnp.float32),
-                cfg,
-                has_times=times is not None,
-            )
-        else:
-            self._state, stats = rt_step(
-                self._state,
-                scan,
-                jnp.asarray(dt, jnp.float32),
-                jnp.asarray(ext_motion, jnp.float32),
-                cfg,
-            )
-        self._pending.append(stats)
-        self._pending_meta.append(len(self.frames))
-        self.frames.append(rec)
-        self._last_time = time
-        self._frames_done += 1
-        if len(self._pending) >= self.poll_every:
-            self.poll()
-
     def _dispatch_chunk(self) -> None:
         """Stack the buffered frames and run them as ONE scanned device
         program; the chunk's [K, STATS_LEN] stats buffer becomes a single
         pending fetch. Short buffers are padded by repeating the last scan
         with dt ~ 0 (registers in place, below the movement gate — no
         inserts), so one compiled chunk shape serves every dispatch."""
-        if not self._chunk_buf:
-            return
-        K = self.chunk_size
-        buf = list(self._chunk_buf)
-        self._chunk_buf = []
-        n_real = len(buf)
-        while len(buf) < K:
-            scan, _, _, _ = buf[-1]
-            buf.append((scan, 1e-4, np.eye(4), -1))
-        scans = pc.stack([b[0] for b in buf])
-        dts = jnp.asarray(np.asarray([b[1] for b in buf], np.float32))
-        exts = jnp.asarray(
-            np.stack([np.asarray(b[2], np.float32) for b in buf])
-        )
-        self._state, stats = rt_step_chunk(self._state, scans, dts, exts, self.cfg)
-        self._pending_chunks.append((stats, [b[3] for b in buf[:n_real]]))
+        with self._frames_lock:
+            if not self._chunk_buf:
+                return
+            self._apply_pending_increment_locked()
+            K = self.chunk_size
+            buf = list(self._chunk_buf)
+            self._chunk_buf = []
+            n_real = len(buf)
+            while len(buf) < K:
+                scan, _, _, _ = buf[-1]
+                buf.append((scan, 1e-4, np.eye(4), -1))
+            scans = pc.stack([b[0] for b in buf])
+            dts = jnp.asarray(np.asarray([b[1] for b in buf], np.float32))
+            exts = jnp.asarray(
+                np.stack([np.asarray(b[2], np.float32) for b in buf])
+            )
+            self._state, stats = rt_step_chunk(self._state, scans, dts, exts, self.cfg)
+            self._pending_chunks.append((stats, [b[3] for b in buf[:n_real]]))
         self.poll()
 
     # ------------------------------------------------------------------
@@ -703,29 +802,40 @@ class RealtimePipeline:
         """Fetch all pending stats (one stacked transfer for single-step
         mode; the chunk buffers directly in chunk mode) and run the host
         bookkeeping they gate (trajectory, submap switching, loop-closure
-        triggers)."""
-        rows_meta: List[tuple] = []
-        if self._pending:
-            stacked = np.asarray(jnp.stack(self._pending))  # one blocking fetch
-            rows_meta.extend(zip(stacked, self._pending_meta))
-            self._pending, self._pending_meta = [], []
-        if self._pending_chunks:
-            chunks = self._pending_chunks
-            self._pending_chunks = []
-            for handle, idxs in chunks:
-                arr = np.asarray(handle)  # one fetch per chunk buffer
-                rows_meta.extend((arr[k], fidx) for k, fidx in enumerate(idxs))
-        if not rows_meta:
-            return
-        for row, fidx in rows_meta:
-            rec = self.frames[fidx]
-            rec.pose = row[IDX_POSE].reshape(4, 4).astype(np.float64)
-            rec.inserted = bool(row[IDX_INSERTED] > 0.5)
-            rec.converged = bool(row[IDX_CONVERGED] > 0.5)
-            rec.degenerate = bool(row[IDX_DEGENERATE] > 0.5)
-        last = rows_meta[-1][0]
-        self._last_polled_pose = last[IDX_POSE].reshape(4, 4).astype(np.float64)
-        self._maybe_switch_submap(self._last_polled_pose, float(last[IDX_OCCUPANCY]))
+        triggers). Holds the frames lock across consume+fetch+write so the
+        loop-closure worker's retroactive correction can never observe a
+        frame as neither pending nor polled."""
+        with self._frames_lock:
+            rows_meta: List[tuple] = []
+            if self._pending:
+                stacked = np.asarray(jnp.stack(self._pending))  # one blocking fetch
+                rows_meta.extend(zip(stacked, self._pending_meta))
+                self._pending, self._pending_meta = [], []
+            if self._pending_chunks:
+                chunks = self._pending_chunks
+                self._pending_chunks = []
+                for handle, idxs in chunks:
+                    arr = np.asarray(handle)  # one fetch per chunk buffer
+                    rows_meta.extend((arr[k], fidx) for k, fidx in enumerate(idxs))
+            if not rows_meta:
+                return
+            for row, fidx in rows_meta:
+                rec = self.frames[fidx]
+                pose = row[IDX_POSE].reshape(4, 4).astype(np.float64)
+                # Frame dispatched before a pose-graph solve, polled after:
+                # its stats predate the increment — apply it now.
+                corr = self._poll_corr.pop(fidx, None)
+                if corr is not None:
+                    pose = corr @ pose
+                rec.pose = pose
+                rec.inserted = bool(row[IDX_INSERTED] > 0.5)
+                rec.converged = bool(row[IDX_CONVERGED] > 0.5)
+                rec.degenerate = bool(row[IDX_DEGENERATE] > 0.5)
+            last_fidx = rows_meta[-1][1]
+            self._last_polled_fidx = last_fidx
+            self._last_polled_pose = self.frames[last_fidx].pose.copy()
+            occupancy = float(rows_meta[-1][0][IDX_OCCUPANCY])
+        self._maybe_switch_submap(self._last_polled_pose, occupancy)
 
     def _maybe_switch_submap(self, pose: np.ndarray, occupancy: float) -> None:
         """Host submap lifecycle from polled stats (≙ updateActiveSubmap,
@@ -911,14 +1021,42 @@ class RealtimePipeline:
             self.submaps.submaps[active_idx].anchor = (
                 active_inc @ self.submaps.submaps[active_idx].anchor
             )
-        if not np.allclose(active_inc, np.eye(4), atol=1e-9):
-            with self._inc_lock:
-                base = (
-                    self._pending_increment
-                    if self._pending_increment is not None
-                    else np.eye(4)
-                )
-                self._pending_increment = active_inc @ base
+            all_res = {
+                i: resolve(i) for i in range(len(self.submaps.submaps))
+            }
+        # Retroactive trajectory correction — the trajectory half of
+        # updateSubmapsAndTrajectory (SlamWrapper.cpp:1055-1090): the
+        # reference re-anchors the PAST path, not only the live pose. Each
+        # recorded frame is moved by its submap's increment; frames still
+        # in flight get the correction queued for poll time; frames
+        # dispatched after this block see it baked into device state via
+        # the pending increment (the dispatch section holds the same lock).
+        with self._frames_lock:
+            pending_fidx = set(self._pending_meta)
+            for _, idxs in self._pending_chunks:
+                pending_fidx.update(idxs)
+            eye = np.eye(4)
+            for fidx, rec in enumerate(list(self.frames)):
+                T = all_res.get(rec.submap_idx)
+                if T is None or np.allclose(T, eye, atol=1e-9):
+                    continue
+                if rec.pose is not None:
+                    rec.pose = T @ rec.pose
+                elif fidx in pending_fidx:
+                    base = self._poll_corr.get(fidx)
+                    self._poll_corr[fidx] = T if base is None else T @ base
+            if 0 <= self._last_polled_fidx < len(self.frames):
+                p = self.frames[self._last_polled_fidx].pose
+                if p is not None:
+                    self._last_polled_pose = p.copy()
+            if not np.allclose(active_inc, eye, atol=1e-9):
+                with self._inc_lock:
+                    base = (
+                        self._pending_increment
+                        if self._pending_increment is not None
+                        else np.eye(4)
+                    )
+                    self._pending_increment = active_inc @ base
 
     # ------------------------------------------------------------------
     # Shutdown + export.
@@ -948,7 +1086,9 @@ class RealtimePipeline:
             if self._lc_thread is not None:
                 self._lc_thread.join(timeout=60.0)
         # Apply any loop-closure increment still pending so the exported
-        # map/pose reflect the final optimized graph.
+        # map reflects the final optimized graph. The TRAJECTORY was
+        # already corrected by the solve's retroactive pass (frames +
+        # _last_polled_pose) — only the device-resident bank needs it.
         with self._inc_lock:
             inc = self._pending_increment
             self._pending_increment = None
@@ -960,7 +1100,6 @@ class RealtimePipeline:
                 bank=submap_mod.transform_submap(self._state.bank, T),
                 scans_since_reinit=jnp.asarray(10**6, jnp.int32),
             )
-            self._last_polled_pose = inc @ self._last_polled_pose
             with self._registry_lock:
                 self.submaps.submaps[self.submaps.active_idx].state = self._state.bank
 
