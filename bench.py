@@ -198,7 +198,7 @@ def _np_exp_se3(twists):
     return T[0] if single else T
 
 
-def _make_sweep(scene, n_pts):
+def _make_sweep(scene, n_pts, wedge_half_deg=135.0, max_range=40.0):
     from open3d_slam_private_tpu.ops import pointcloud as pc
 
     def sweep(pose, twist, seed):
@@ -206,7 +206,7 @@ def _make_sweep(scene, n_pts):
         local = (np.linalg.inv(T_end) @ np.c_[scene, np.ones(len(scene))].T).T[:, :3]
         az = np.degrees(np.arctan2(local[:, 1], local[:, 0]))
         r = np.linalg.norm(local, axis=1)
-        vis = np.flatnonzero((np.abs(az) <= 135.0) & (r <= 40.0) & (r > 1.0))
+        vis = np.flatnonzero((np.abs(az) <= wedge_half_deg) & (r <= max_range) & (r > 1.0))
         rr = np.random.default_rng(seed)
         sel = rr.choice(vis, size=n_pts, replace=len(vis) < n_pts)
         phases = ((np.radians(az[sel]) + np.pi) / (2 * np.pi)).astype(np.float32)
@@ -237,6 +237,111 @@ def _frames_for_run(scene, n_frames, n_pts, speed=0.4, yaw=0.04):
         frames.append(scan)
         gts.append(pose.copy())
     return frames, np.stack(gts)
+
+
+def corridor_world(n=240_000, seed=0):
+    """Drift-observable world for the loop-closure efficacy protocol: two
+    feature-rich rooms joined by a featureless corridor (the canonical
+    X-ICP degenerate geometry). Along-corridor translation is unobservable
+    against the map mid-corridor, so speed changes made there accumulate
+    REAL drift that only a loop closure back in a room can repair — the
+    exact failure mode the reference's PlaceRecognition +
+    OptimizationProblem stack exists for (PlaceRecognition.cpp:50-176,
+    SlamWrapper.cpp:1055-1090)."""
+    rng = np.random.default_rng(seed)
+
+    def wall(x0, y0, x1, y1, h, m):
+        t = rng.uniform(0, 1, (m, 1))
+        base = np.c_[x0 + (x1 - x0) * t, y0 + (y1 - y0) * t]
+        return np.c_[base, rng.uniform(0, h, (m, 1))]
+
+    def column(cx, cy, r, h, m):
+        ang = rng.uniform(0, 2 * np.pi, m)
+        return np.c_[cx + r * np.cos(ang), cy + r * np.sin(ang),
+                     rng.uniform(0, h, m)]
+
+    m = n // 60
+    pts = []
+    # Ground strip under the whole circuit (z only: no along-x texture).
+    n_g = n // 2
+    pts.append(np.c_[rng.uniform(-10, 34, (n_g, 1)),
+                     rng.uniform(-8, 8, (n_g, 1)),
+                     rng.normal(0, 0.01, (n_g, 1))])
+    # Room A: x in [-8, 2], perimeter walls + columns (feature-rich).
+    for seg in [(-8, -7, -8, 7), (-8, 7, 2, 7), (-8, -7, 2, -7)]:
+        pts.append(wall(*seg, 4.0, 2 * m))
+    for cx, cy in [(-6, 3.6), (-5, -4.0), (-2, 4.6), (-1, -4.6),
+                   (-6.8, -1.0), (0.6, 3.4)]:
+        pts.append(column(cx, cy, 0.35, 3.0, m))
+    # Corridor x in [3, 21]: two smooth walls at y=+-3.0 (NO x-structure).
+    pts.append(wall(3, 3.0, 21, 3.0, 3.0, 5 * m))
+    pts.append(wall(3, -3.0, 21, -3.0, 3.0, 5 * m))
+    # Doorway funnels (short diagonals; negligible x-texture at range).
+    pts.append(wall(2, 7, 3, 3.0, 3.0, m))
+    pts.append(wall(2, -7, 3, -3.0, 3.0, m))
+    pts.append(wall(21, 3.0, 22, 7, 3.0, m))
+    pts.append(wall(21, -3.0, 22, -7, 3.0, m))
+    # Room B: x in [22, 32], perimeter walls + columns.
+    for seg in [(32, -7, 32, 7), (22, 7, 32, 7), (22, -7, 32, -7)]:
+        pts.append(wall(*seg, 4.0, 2 * m))
+    for cx, cy in [(24.5, -3.6), (26, 4.2), (29, -4.4), (31, 3.2),
+                   (27.5, -1.2 - 3.0)]:
+        pts.append(column(cx, cy, 0.35, 3.0, m))
+    w = np.vstack(pts).astype(np.float32)
+    return w + rng.normal(size=w.shape).astype(np.float32) * 0.01
+
+
+def corridor_frames(scene, n_pts=8192, laps=2, v_room=1.5, v_out=2.0,
+                    max_range=9.0, seed0=7000):
+    """Closed out-and-back trajectory through :func:`corridor_world`.
+
+    Speed ramps from ``v_room`` to ``v_out`` INSIDE the corridor blind zone
+    (after room-A features fall outside the 270 deg wedge / range gate and
+    before any room-B structure enters the map) — the pipeline's only
+    along-corridor information there is the constant-velocity prior, so
+    each outbound leg accumulates ~(v_out - v_room) * t_blind of real +x
+    drift. The return leg runs at constant ``v_room`` (a slower return
+    would also drift +x but triples the frame count; an accelerated return
+    would cancel the outbound drift by symmetry). Outbound and return legs
+    are offset to y = -+1.24 so the U-turns (radius 1.24) connect them.
+    Returns (frames, gts, lap_boundaries)."""
+    sweep = _make_sweep(scene, n_pts, wedge_half_deg=135.0, max_range=max_range)
+    dt = 0.1
+    turn = np.pi / 3.0
+
+    def segs_for_lap():
+        # (n_frames, v0, v1, yaw_rate): v ramps linearly v0 -> v1.
+        return [
+            (36, v_room, v_room, 0.0),      # room A -> corridor mouth
+            (24, v_room, v_room, 0.0),      # early corridor; A falls behind
+            (14, v_room, v_room, 0.0),      # fully blind now
+            (8, v_room, v_out, 0.0),        # RAMP in the blind zone
+            (66, v_out, v_out, 0.0),        # cruise; B visible from x~13
+            (10, v_out, 1.4, 0.0),          # decelerate (observable vs B)
+            (12, 1.4, 1.4, 0.0),            # into room B
+            (30, 1.3, 1.3, turn),           # U-turn -> return leg y=+1.24
+            (12, 1.4, 1.4, 0.0),            # back across room B
+            (150, v_room, v_room, 0.0),     # corridor return (constant v)
+            (20, v_room, v_room, 0.0),      # into room A
+            (30, 1.3, 1.3, turn),           # U-turn -> outbound leg y=-1.24
+        ]
+
+    pose = np.eye(4)
+    pose[:3, 3] = [-5.0, -1.24, 1.4]
+    frames, gts, lap_bounds = [], [], []
+    k = 0
+    for lap in range(laps):
+        for n_f, va, vb, w in segs_for_lap():
+            for j in range(n_f):
+                a = j / max(n_f - 1, 1)
+                v = va + (vb - va) * a
+                twist = np.array([0.0, 0.0, w * dt, v * dt, 0.0, 0.0])
+                scan, pose = sweep(pose, twist, seed0 + k)
+                frames.append(scan)
+                gts.append(pose.copy())
+                k += 1
+        lap_bounds.append(k)
+    return frames, np.stack(gts), lap_bounds
 
 
 def _ate(est, gts):

@@ -491,6 +491,9 @@ class RealtimePipeline:
         # fidx -> correction for frames dispatched pre-solve but polled
         # post-solve (their device stats predate the increment).
         self._poll_corr: Dict[int, np.ndarray] = {}
+        # Frames whose stats are being fetched outside the lock right now
+        # (pending for _poll_corr purposes; see poll()).
+        self._in_fetch: set = set()
         self._scans_in_active_at_switch = 0
         self._last_switch_frame = -(10**9)
         self._frames_done = 0
@@ -505,6 +508,7 @@ class RealtimePipeline:
         self._lc_busy = False
         self.loop_closure_count = 0
         self.pose_graph_solves = 0
+        self.solve_log: List[dict] = []  # per-solve chi2/increment diagnostics
         if self.loop_closure_async:
             self._lc_thread = threading.Thread(target=self._lc_worker, daemon=True)
             self._lc_thread.start()
@@ -576,22 +580,60 @@ class RealtimePipeline:
         ]).astype(np.float32)
         a = pc.from_points(pts, capacity=n)
         b = pc.from_points(pts + np.float32([0.05, -0.03, 0.01]), capacity=n)
-        try:
-            pr.verify_candidate(a, b, np.eye(4), cfg.place_recognition)
-        except Exception:
-            pass  # compile is the goal; outcome is irrelevant
-        if cfg.place_recognition.use_fpfh_ransac:
-            # Also compile the grid-only hypothesis shape (the path taken
-            # when FPFH fails in production).
+        # Compile each worker program DIRECTLY rather than hoping the full
+        # verify_candidate path reaches them (a failed synthetic FPFH/RANSAC
+        # would silently skip the grid+1-seed hypothesis shape and leave a
+        # multi-minute compile inside the stream). register_hypotheses is
+        # keyed on the seed-array shape: grid (FPFH-miss) and grid+1
+        # (FPFH-hit) are distinct programs.
+        prc = cfg.place_recognition
+        from open3d_slam_private_tpu.ops import normals as _normals_mod
+
+        an = _normals_mod.estimate_normals(a, knn=8, max_dist=2.0 * prc.icp.max_match_dist)
+        bn = _normals_mod.estimate_normals(b, knn=8, max_dist=2.0 * prc.icp.max_match_dist)
+        grid = np.asarray(pr._seed_grid(np.eye(4), prc))
+        shapes = [grid]
+        if prc.use_fpfh_ransac:
+            shapes.append(np.concatenate([np.eye(4, dtype=np.float32)[None], grid]))
+            # FPFH + mutual-match + device-RANSAC programs.
+            fpfh_ok = False
             try:
-                pr.verify_candidate(
-                    a, b, np.eye(4),
-                    dataclasses.replace(
-                        cfg.place_recognition, use_fpfh_ransac=False
-                    ),
-                )
+                fpfh_ok = pr.fpfh_coarse_align(an, bn, prc) is not None
             except Exception:
                 pass
+            if not fpfh_ok:
+                # The feature pipeline compiled up to wherever it bailed;
+                # compile the RANSAC program explicitly so nothing is left.
+                try:
+                    from open3d_slam_private_tpu.models import ransac as _ransac_mod
+
+                    ok = np.zeros(n, bool)
+                    ok[: max(prc.ransac_min_inliers * 4, 64)] = True
+                    _ransac_mod.ransac_align(
+                        an.xyz, bn.xyz, jnp.asarray(ok), jax.random.key(0),
+                        _ransac_mod.RansacConfig(
+                            num_hypotheses=prc.ransac_hypotheses,
+                            inlier_dist=prc.ransac_inlier_dist,
+                            min_inliers=prc.ransac_min_inliers,
+                        ),
+                    )
+                except Exception:
+                    import warnings
+
+                    warnings.warn(
+                        "loop-closure warmup: RANSAC program failed to "
+                        "compile; first real FPFH hit will compile in-stream"
+                    )
+        for seeds in shapes:
+            try:
+                icp_mod.register_hypotheses(an, bn, jnp.asarray(seeds), prc.icp)
+            except Exception:
+                import warnings
+
+                warnings.warn(
+                    f"loop-closure warmup: hypothesis shape {seeds.shape} "
+                    "failed to compile; it will compile in-stream"
+                )
         # Bank-shaped programs the worker uses (compact + rigid transform).
         bank = submap_mod.create(cfg.submaps.submap_capacity)
         pc.compact(bank.cloud, n)
@@ -649,10 +691,15 @@ class RealtimePipeline:
         # path, Mapper.cpp:196-235 — the reference publishes a propagated
         # pose but does not insert; here the frame is marked and skipped).
         if self._last_time is not None and time <= self._last_time:
-            rec.out_of_order = True
-            rec.pose = self._last_polled_pose.copy()
-            rec.submap_idx = self.submaps.active_idx
-            self.frames.append(rec)
+            # Under _frames_lock: the LC worker's retroactive pass snapshots
+            # self.frames and corrects polled poses in place — an unlocked
+            # append here could capture a pre-correction pose yet be missing
+            # from the worker's snapshot (permanently uncorrected frame).
+            with self._frames_lock:
+                rec.out_of_order = True
+                rec.pose = self._last_polled_pose.copy()
+                rec.submap_idx = self.submaps.active_idx
+                self.frames.append(rec)
             return
 
         if self._state is None:
@@ -802,24 +849,31 @@ class RealtimePipeline:
         """Fetch all pending stats (one stacked transfer for single-step
         mode; the chunk buffers directly in chunk mode) and run the host
         bookkeeping they gate (trajectory, submap switching, loop-closure
-        triggers). Holds the frames lock across consume+fetch+write so the
-        loop-closure worker's retroactive correction can never observe a
-        frame as neither pending nor polled."""
+        triggers). The blocking device fetch runs OUTSIDE the frames lock
+        (a loop-closure solve finishing mid-poll must not wait out a full
+        host<->device transfer to hand off its correction); frames whose
+        stats are in flight stay visible to the retroactive pass via
+        ``_in_fetch`` so their corrections land in ``_poll_corr``."""
         with self._frames_lock:
-            rows_meta: List[tuple] = []
-            if self._pending:
-                stacked = np.asarray(jnp.stack(self._pending))  # one blocking fetch
-                rows_meta.extend(zip(stacked, self._pending_meta))
-                self._pending, self._pending_meta = [], []
-            if self._pending_chunks:
-                chunks = self._pending_chunks
-                self._pending_chunks = []
-                for handle, idxs in chunks:
-                    arr = np.asarray(handle)  # one fetch per chunk buffer
-                    rows_meta.extend((arr[k], fidx) for k, fidx in enumerate(idxs))
-            if not rows_meta:
+            handles, metas = self._pending, self._pending_meta
+            self._pending, self._pending_meta = [], []
+            chunks = self._pending_chunks
+            self._pending_chunks = []
+            if not handles and not chunks:
                 return
+            self._in_fetch.update(metas)
+            for _, idxs in chunks:
+                self._in_fetch.update(idxs)
+        rows_meta: List[tuple] = []
+        if handles:
+            stacked = np.asarray(jnp.stack(handles))  # one blocking fetch
+            rows_meta.extend(zip(stacked, metas))
+        for handle, idxs in chunks:
+            arr = np.asarray(handle)  # one fetch per chunk buffer
+            rows_meta.extend((arr[k], fidx) for k, fidx in enumerate(idxs))
+        with self._frames_lock:
             for row, fidx in rows_meta:
+                self._in_fetch.discard(fidx)
                 rec = self.frames[fidx]
                 pose = row[IDX_POSE].reshape(4, 4).astype(np.float64)
                 # Frame dispatched before a pose-graph solve, polled after:
@@ -982,18 +1036,39 @@ class RealtimePipeline:
                 info=c.information, is_loop=True,
             )
         graph = builder.build()
+        chi2_pre = float(pg.chi2(graph))
         out = pg.optimize(graph, self.cfg.pose_graph)
+        chi2_post = float(pg.chi2(out))
         self.pose_graph_solves += 1
         new_poses = np.asarray(out.poses, np.float64)
 
         increments: Dict[int, np.ndarray] = {}
+        inc_norms = []
         for i, e in enumerate(entries):
             inc = new_poses[i] @ np.linalg.inv(e.anchor)
+            inc_norms.append(float(np.linalg.norm(inc - np.eye(4))))
             if not np.allclose(inc, np.eye(4), atol=1e-6):
                 increments[i] = inc
+        # Per-solve diagnostics (≙ the reference's printed optimization
+        # summary): chi2 before/after and the largest submap increment —
+        # the observable that proves a solve actually moved the graph.
+        self.solve_log.append({
+            "nodes": len(entries),
+            "loop_edges": len(self._loop_constraints),
+            "chi2_pre": chi2_pre,
+            "chi2_post": chi2_post,
+            "max_inc_norm": max(inc_norms) if inc_norms else 0.0,
+            "moved_submaps": len(increments),
+        })
         if not increments:
             return
         with self._registry_lock:
+            # Re-read the active index: the mapping thread may have switched
+            # submaps during the (long) solve above, and the increment handed
+            # to the live device bank must be the CURRENT active submap's —
+            # else device state and the retroactive frame corrections diverge
+            # by resolve(new)^-1 @ resolve(old).
+            active_idx = self.submaps.active_idx
             # Transform every NON-active stored bank here on the worker;
             # parent-chain propagation for unoptimized submaps.
             resolved: Dict[int, np.ndarray] = {}
@@ -1032,7 +1107,7 @@ class RealtimePipeline:
         # dispatched after this block see it baked into device state via
         # the pending increment (the dispatch section holds the same lock).
         with self._frames_lock:
-            pending_fidx = set(self._pending_meta)
+            pending_fidx = set(self._pending_meta) | set(self._in_fetch)
             for _, idxs in self._pending_chunks:
                 pending_fidx.update(idxs)
             eye = np.eye(4)
