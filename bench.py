@@ -392,17 +392,29 @@ def run_pipeline_bench(n_frames=340, n_pts=8192, smoke=False):
     ate = _ate(traj, gts)
     mapper_hz = 1.0 / float(np.mean(core))
 
-    # --- paced latency mode (poll_every=1) on a 40-frame segment ---
-    n_paced = 10 if smoke else 40
+    # --- paced latency mode (poll_every=1, 10 Hz arrival process) ---
+    # Scans ARRIVE at sensor rate; per-frame latency is arrival -> pose
+    # available (the honest meaning of the 100 ms @ 10 Hz budget,
+    # ≙ SlamWrapper's real-time claim). The async reference rebuild runs
+    # as its own device program between arrivals, so the rebuild cost
+    # lands in the idle gap instead of on one frame (≙ Mapper.cpp:329-360
+    # re-initializing while mapping continues). Overruns are charged to
+    # the next frame automatically (its arrival time has already passed).
+    n_paced = 10 if smoke else 80
     rt2 = RealtimePipeline(cfg, poll_every=1)
     paced = []
+    arrival_dt = 0.1
+    t_first = time.perf_counter()
     for i, scan in enumerate(frames[:n_paced]):
-        t0 = time.perf_counter()
+        t_due = t_first + arrival_dt * i
+        now = time.perf_counter()
+        if now < t_due:
+            time.sleep(t_due - now)
         rt2.process_scan(scan, time=0.1 * i)
         rt2.poll()
-        paced.append(time.perf_counter() - t0)
+        paced.append(time.perf_counter() - t_due)
     rt2.finish(wait_loop_closures=False)
-    paced_core = np.asarray(paced[3 if smoke else 10:])
+    paced_core = np.asarray(paced[3 if smoke else 15:])
 
     # --- offline-harness cross-check (same scans, deterministic mode) ---
     n_off = 10 if smoke else 60
@@ -432,43 +444,60 @@ def run_pipeline_bench(n_frames=340, n_pts=8192, smoke=False):
         offline_ate_p50_m=round(float(np.median(ate_off)), 4),
         realtime_prefix_ate_p50_m=round(float(np.median(ate_rt_prefix)), 4),
         wall_s_total=round(wall, 1),
-        mode="realtime poll_every=8; p50/p95 from paced poll_every=1 segment",
+        mode="realtime poll_every=8; p50/p95 = arrival->pose latency on a "
+             "10 Hz-paced poll_every=1 segment (async reference rebuild)",
     )
 
 
-def run_pipeline_bench_64k(n_frames=80, smoke=False):
-    """The 64k-points-per-scan variant of the e2e pipeline (single lap, no
-    carving/dense map — isolates big-scan throughput)."""
+def run_pipeline_bench_64k(n_frames=340, smoke=False):
+    """The 64k-points-per-scan variant of the e2e pipeline — round 5: the
+    FULL production-stage combination (carving + dense map + loop closure,
+    loopy two-lap trajectory — the same scenario as the 8k leg) at the
+    reference's production scan size (its crops/voxels are applied to full
+    64-131k sensor clouds, ``Parameters.hpp:51-64``). Round 4 benched 64k
+    with those stages stripped on a single 80-frame lap, which both
+    under-tested accuracy and made the ATE hostage to one nondeterministic
+    loop closure."""
     from open3d_slam_private_tpu.slam.realtime import RealtimePipeline
 
     n_pts = 4096 if smoke else 65536
     scene = synth_scene(20_000 if smoke else 400_000)
-    cfg = _pipeline_cfg(smoke=smoke, carve=False, dense=False, loopy=False)
-    frames, gts = _frames_for_run(scene, n_frames, n_pts, speed=0.32)
+    cfg = _pipeline_cfg(smoke=smoke)
+    frames, gts = _frames_for_run(scene, n_frames, n_pts)
     rt = RealtimePipeline(cfg, poll_every=8)
     rt.warmup(frames[0])
     warm = 5 if smoke else 15
+    lats = []
     t0 = time.perf_counter()
     t_warm = t0
     for i, scan in enumerate(frames):
+        t1 = time.perf_counter()
         rt.process_scan(scan, time=0.1 * i)
+        lats.append(time.perf_counter() - t1)
         if i == warm - 1:
             rt.poll()
             t_warm = time.perf_counter()
     rt.poll()
     wall = time.perf_counter() - t0
     core_wall = time.perf_counter() - t_warm
-    rt.finish(wait_loop_closures=False)
+    rt.finish()
     traj = rt.trajectory()
     ate = _ate(traj, gts)
+    core = np.asarray(lats[warm:])
     return dict(
         frames=n_frames,
         points_per_scan=n_pts,
         mapper_hz=round((n_frames - warm) / max(core_wall, 1e-9), 2),
+        throughput_p50_dispatch_ms=round(float(np.percentile(core, 50)) * 1e3, 2),
+        throughput_p95_ms=round(float(np.percentile(core, 95)) * 1e3, 2),
         wall_s_total=round(wall, 1),
         ate_p50_m=round(float(np.median(ate)), 4),
         ate_max_m=round(float(np.max(ate)), 4),
         submaps=len(rt.submaps.submaps),
+        loop_closures=rt.loop_closure_count,
+        pose_graph_solves=rt.pose_graph_solves,
+        carving_enabled=cfg.submaps.carve_every_n > 0,
+        dense_map_points=int(len(rt.dense_map_points())),
     )
 
 
@@ -544,14 +573,21 @@ def run_multisession_bench(smoke=False):
     wall = time.perf_counter() - t0
     if res is None:
         return {"error": "merge produced no constraints"}
-    d = np.linalg.inv(res.T_ab) @ T_ab_true
+    d = np.linalg.inv(res.T_ab_optimized) @ T_ab_true
+    d_coarse = np.linalg.inv(res.T_ab) @ T_ab_true
     return dict(
         wall_s=round(wall, 2),
+        phase_s=res.phase_s,
         submaps_a=len(a.submaps),
         submaps_b=len(b.submaps),
         constraints=len(res.constraints),
         accepted_constraints_per_s=round(len(res.constraints) / wall, 2),
+        # Registration-grade output: the OPTIMIZED session transform
+        # distilled from the solved anchors (round-4 reported the coarse
+        # INPUT's error here — 0.112 m was the injected perturbation).
         T_ab_err_m=round(float(np.linalg.norm(d[:3, 3])), 4),
+        T_ab_rot_err_rad=round(rot_angle(d[:3, :3]), 5),
+        T_ab_coarse_input_err_m=round(float(np.linalg.norm(d_coarse[:3, 3])), 4),
         chi2_before=round(res.chi2_before, 3),
         chi2_after=round(res.chi2_after, 3),
     )
@@ -1047,7 +1083,7 @@ def main():
         pipe_stats = {"error": f"{type(e).__name__}: {e}"}
     progress(f"timed: pipeline {pipe_stats}")
     try:
-        pipe64_stats = run_pipeline_bench_64k(n_frames=20 if SMOKE else 80,
+        pipe64_stats = run_pipeline_bench_64k(n_frames=20 if SMOKE else 340,
                                               smoke=SMOKE)
     except Exception as e:
         pipe64_stats = {"error": f"{type(e).__name__}: {e}"}

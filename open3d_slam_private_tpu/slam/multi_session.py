@@ -119,6 +119,15 @@ class MergeResult:
     poses_b: np.ndarray  # [nB, 4, 4] optimized anchors (A frame)
     chi2_before: float
     chi2_after: float
+    # The OPTIMIZED session transform, distilled from the solved graph:
+    # SE(3) mean of ``new_pose_b_j @ inv(original_anchor_b_j)`` over B's
+    # submaps. ``T_ab`` above is only the coarse-alignment INPUT — after
+    # the joint solve the registration-grade alignment lives in the
+    # anchors, and this field surfaces it (the round-4 bench measured the
+    # coarse input and reported its 0.11 m error as the converged error).
+    T_ab_optimized: Optional[np.ndarray] = None
+    # Per-phase wall seconds: {"coarse": .., "register": .., "graph": ..}.
+    phase_s: Optional[dict] = None
 
 
 def session_skeleton(collection, capacity: int) -> pc.PointBatch:
@@ -262,13 +271,32 @@ def coarse_align_sessions(
         sel = np.linspace(0, len(pairs) - 1, cfg.max_anchor_pairs).astype(int)
         pairs = [pairs[i] for i in sel]
     yaws = np.linspace(0, 2 * np.pi, cfg.coarse_yaw_hypotheses, endpoint=False)
+    # Sub-anchor-spacing XY offsets: anchor pairing quantizes the seed
+    # translation to the anchor lattice (submaps form every
+    # creation_radius+), but in quasi-periodic scenes the pull-in basin is
+    # SMALLER than that spacing — a half-spacing seed error converges to an
+    # aliased lattice offset instead of the true one. Half-spacing offsets
+    # along the horizontal axes put one seed inside the true basin.
+    apos = np.stack([e.anchor[:3, 3] for e in a.submaps])
+    offsets = [(0.0, 0.0)]
+    if len(apos) > 1:
+        dmat = np.linalg.norm(apos[:, None] - apos[None], axis=-1)
+        np.fill_diagonal(dmat, np.inf)
+        half = float(np.median(dmat.min(axis=1))) / 2.0
+        if np.isfinite(half) and half > 0.5:
+            offsets += [(half, 0.0), (-half, 0.0), (0.0, half), (0.0, -half)]
     for ea, eb in pairs:
         inv_b = np.linalg.inv(eb.anchor)
         for yaw in yaws:
             R = np.eye(4)
             c, s = np.cos(yaw), np.sin(yaw)
             R[0, 0], R[0, 1], R[1, 0], R[1, 1] = c, -s, s, c
-            seeds.append(ea.anchor @ R @ inv_b)
+            T0 = ea.anchor @ R @ inv_b
+            for ox, oy in offsets:
+                T = T0.copy()
+                T[0, 3] += ox
+                T[1, 3] += oy
+                seeds.append(T)
     Ts_seed = np.stack(seeds)
 
     # Stage 2: brute prune on tiny subsamples — raw coverage score at the
@@ -457,15 +485,24 @@ def merge_sessions(
     axis when given) -> joint pose-graph GN -> rigid re-anchoring of both
     collections. Returns None when alignment fails or no inter-session
     constraint is accepted (collections untouched)."""
+    import time as _time
+
     cfg = cfg or MultiSessionConfig()
+    phase_s = {}
     if T_ab is None:
+        t0 = _time.perf_counter()
         T_ab = coarse_align_sessions(a, b, cfg, seed=seed)
+        phase_s["coarse"] = round(_time.perf_counter() - t0, 2)
         if T_ab is None:
             return None
     T_ab = np.asarray(T_ab, np.float64)
+    t0 = _time.perf_counter()
     constraints = find_inter_session_constraints(a, b, T_ab, cfg, mesh=mesh)
+    phase_s["register"] = round(_time.perf_counter() - t0, 2)
     if not constraints:
         return None
+    t0 = _time.perf_counter()
+    anchors_b_orig = [e.anchor.copy() for e in b.submaps]
 
     nA, nB = len(a.submaps), len(b.submaps)
     n_edges = max(nA - 1, 0) + max(nB - 1, 0) + len(constraints)
@@ -503,6 +540,27 @@ def merge_sessions(
              for j in range(nB)}
     a.apply_pose_updates(inc_a)
     b.apply_pose_updates(inc_b)
+    # Distill the registration-grade session transform from the solved
+    # anchors: each B submap implies T_ab_j = new_pose_j @ inv(anchor_j);
+    # average them on the SE(3) manifold about the first. A's own (soft
+    # gauge) drift in the solve is removed the same way so the transform
+    # is expressed w.r.t. A's ORIGINAL frame.
+    def _se3_mean(Ts):
+        T0 = Ts[0]
+        deltas = jnp.asarray(
+            np.stack([np.linalg.inv(T0) @ T for T in Ts]), jnp.float32
+        )
+        mean_tw = np.asarray(jax.vmap(se3.log_se3)(deltas)).mean(axis=0)
+        return T0 @ np.asarray(
+            se3.exp_se3(jnp.asarray(mean_tw, jnp.float32)), np.float64
+        )
+
+    Ts_j = np.stack([
+        new_poses[nA + j] @ np.linalg.inv(anchors_b_orig[j]) for j in range(nB)
+    ])
+    T_gauge_a = _se3_mean(np.stack([inc_a[i] for i in range(nA)]))
+    T_ab_opt = np.linalg.inv(T_gauge_a) @ _se3_mean(Ts_j)
+    phase_s["graph"] = round(_time.perf_counter() - t0, 2)
     return MergeResult(
         T_ab=T_ab,
         constraints=constraints,
@@ -510,4 +568,6 @@ def merge_sessions(
         poses_b=new_poses[nA:nA + nB],
         chi2_before=chi2_before,
         chi2_after=chi2_after,
+        T_ab_optimized=T_ab_opt,
+        phase_s=phase_s,
     )

@@ -34,7 +34,14 @@ class PlaceRecognitionConfig:
 
     max_candidate_distance: float = 40.0  # anchor distance gate
     min_submaps_between_candidates: int = 2  # consecutiveness gate
-    min_adjacency_distance: int = 3  # BFS hop gate (skip direct neighbours)
+    # BFS hop gate: reject candidates with adjacency distance < this. The
+    # reference rejects only DIRECT neighbours of the finished submap
+    # (``isAdjacent(i, lastFinished)``, ``PlaceRecognition.cpp:250``), i.e.
+    # hop distance 1 — value 2 here. Round 4 shipped 3, which also rejected
+    # 2-hop candidates and silently killed the canonical revisit closure
+    # (return to the start room creates a submap whose parent chains to the
+    # original one in 2 hops).
+    min_adjacency_distance: int = 2
     # Verify at most the K NEAREST gated candidates per finished submap
     # (None = all). In dense submap layouts (small creation radius) the
     # distance gate alone admits O(submaps) candidates and the verify

@@ -460,12 +460,30 @@ class RealtimePipeline:
         loop_closure_async: bool = True,
         h2d_mode: str = "pytree",
         chunk_size: int = 1,
+        async_rebuild: bool = True,
     ):
         if h2d_mode not in ("pytree", "packed"):
             raise ValueError(f"h2d_mode must be 'pytree' or 'packed', got {h2d_mode!r}")
         if chunk_size > 1 and h2d_mode == "packed":
             raise ValueError("chunk_size > 1 currently requires h2d_mode='pytree'")
         self.cfg = cfg or SlamConfig()
+        # Async reference rebuild (≙ the reference's periodic re-init running
+        # off the mapping hot path, Mapper.cpp:329-360): the rebuild becomes
+        # its OWN device program launched by the host at the cadence; the
+        # per-frame step program then never takes the rebuild branch, so no
+        # single frame carries the full rebuild latency — in paced (10 Hz)
+        # operation the rebuild executes in the idle gap between arrivals.
+        self.async_rebuild = bool(async_rebuild)
+        if self.async_rebuild:
+            self._step_cfg = dataclasses.replace(
+                self.cfg,
+                mapper=dataclasses.replace(
+                    self.cfg.mapper, reference_reinit_every=1 << 30
+                ),
+            )
+        else:
+            self._step_cfg = self.cfg
+        self._frames_since_rebuild = 1
         self.h2d_mode = h2d_mode
         self.chunk_size = max(1, int(chunk_size))
         self._chunk_buf: List[tuple] = []  # (scan, dt, ext, frame_idx)
@@ -477,6 +495,9 @@ class RealtimePipeline:
         self._pending_meta: List[int] = []  # frame index per pending handle
         self.frames: List[FrameRecord] = []
         self._last_time: Optional[float] = None
+        # Most recent dispatched scan (device handles; free to retain) —
+        # consumed by the re-activation consistency gate.
+        self._last_scan: Optional[pc.PointBatch] = None
         self._prev_ext_pose: Optional[np.ndarray] = None
         self._initial_pose = np.eye(4)
         self._last_polled_pose = np.eye(4)
@@ -524,7 +545,7 @@ class RealtimePipeline:
         real-time loop (the relay has no persistent compile cache). Loop
         closure programs compile lazily on the worker thread — off the
         critical path by design."""
-        cfg = self.cfg
+        cfg = self._step_cfg
         state = rt_init(example_scan, jnp.eye(4, dtype=jnp.float32), cfg)
         eye = jnp.eye(4, dtype=jnp.float32)
         dt = jnp.asarray(0.1, jnp.float32)
@@ -554,6 +575,19 @@ class RealtimePipeline:
             capacity=cfg.submaps.submap_capacity,
         )
         np.asarray(jnp.stack([stats] * self.poll_every))  # poll program + sync
+        if self.async_rebuild:
+            jax.block_until_ready(build_map_reference(
+                state2.bank.cloud, state2.map_pose[:3, 3], self.cfg.mapper
+            ))
+        # Re-activation consistency gate program (scan-vs-bank overlap).
+        from open3d_slam_private_tpu.slam.constraint_builders import (
+            overlap_fraction,
+        )
+
+        overlap_fraction(
+            example_scan, state2.bank.cloud,
+            radius=max(self.cfg.submaps.submap_voxel_size, 1e-3),
+        )
         if self.cfg.loop_closure_enabled:
             self._warmup_loop_closure()
 
@@ -702,6 +736,7 @@ class RealtimePipeline:
                 self.frames.append(rec)
             return
 
+        self._last_scan = scan
         if self._state is None:
             # IMU attitude boot (≙ estimateAttitudeFromImu at startup).
             if (
@@ -718,8 +753,9 @@ class RealtimePipeline:
                 except ValueError:
                     pass
             self._state = rt_init(
-                scan, jnp.asarray(self._initial_pose, jnp.float32), cfg
+                scan, jnp.asarray(self._initial_pose, jnp.float32), self._step_cfg
             )
+            self._frames_since_rebuild = 1
             with self._registry_lock:
                 self.submaps.submaps.append(
                     SubmapEntry(
@@ -778,7 +814,7 @@ class RealtimePipeline:
                     jnp.asarray(header),
                     jnp.asarray(dt, jnp.float32),
                     jnp.asarray(ext_motion, jnp.float32),
-                    cfg,
+                    self._step_cfg,
                     has_times=times is not None,
                 )
             else:
@@ -787,16 +823,45 @@ class RealtimePipeline:
                     scan,
                     jnp.asarray(dt, jnp.float32),
                     jnp.asarray(ext_motion, jnp.float32),
-                    cfg,
+                    self._step_cfg,
                 )
             self._pending.append(stats)
             self._pending_meta.append(len(self.frames))
             rec.submap_idx = self.submaps.active_idx
             self.frames.append(rec)
+            self._frames_since_rebuild += 1
+            if (
+                self.async_rebuild
+                and self._frames_since_rebuild
+                >= self.cfg.mapper.reference_reinit_every
+            ):
+                self._launch_rebuild()
         self._last_time = time
         self._frames_done += 1
         if len(self._pending) >= self.poll_every:
             self.poll()
+
+    def _launch_rebuild(self) -> None:
+        """Refresh the registration reference. Async mode: launch
+        :func:`build_map_reference` as its OWN device program and swap the
+        (not-yet-materialized) handles into the step state — device-queue
+        ordering makes the next step consume the finished rebuild, while no
+        frame's STATS depend on it, so a paced stream absorbs the rebuild
+        in its idle gap (≙ the reference's periodic re-init running while
+        mapping continues, ``Mapper.cpp:329-360``). Sync mode: arm the
+        in-step rebuild branch."""
+        if not self.async_rebuild:
+            self._state = dataclasses.replace(
+                self._state, scans_since_reinit=jnp.asarray(10**6, jnp.int32)
+            )
+            return
+        ref = build_map_reference(
+            self._state.bank.cloud, self._state.map_pose[:3, 3], self.cfg.mapper
+        )
+        self._state = dataclasses.replace(
+            self._state, ref=ref, scans_since_reinit=jnp.asarray(0, jnp.int32)
+        )
+        self._frames_since_rebuild = 0
 
     def _apply_pending_increment_locked(self) -> None:
         """Consume a pending loop-closure increment at the dispatch boundary
@@ -811,9 +876,10 @@ class RealtimePipeline:
                 self._state,
                 map_pose=T @ self._state.map_pose,
                 bank=submap_mod.transform_submap(self._state.bank, T),
-                # Force a reference rebuild on the next step: the map moved.
-                scans_since_reinit=jnp.asarray(10**6, jnp.int32),
             )
+            # The map moved: the reference must be rebuilt before the next
+            # registration.
+            self._launch_rebuild()
 
     def _dispatch_chunk(self) -> None:
         """Stack the buffered frames and run them as ONE scanned device
@@ -837,8 +903,17 @@ class RealtimePipeline:
             exts = jnp.asarray(
                 np.stack([np.asarray(b[2], np.float32) for b in buf])
             )
-            self._state, stats = rt_step_chunk(self._state, scans, dts, exts, self.cfg)
+            self._state, stats = rt_step_chunk(
+                self._state, scans, dts, exts, self._step_cfg
+            )
             self._pending_chunks.append((stats, [b[3] for b in buf[:n_real]]))
+            self._frames_since_rebuild += n_real
+            if (
+                self.async_rebuild
+                and self._frames_since_rebuild
+                >= self.cfg.mapper.reference_reinit_every
+            ):
+                self._launch_rebuild()
         self.poll()
 
     # ------------------------------------------------------------------
@@ -916,8 +991,12 @@ class RealtimePipeline:
             if (not force_new) and (young or d_cur <= cfg.creation_radius):
                 return
             # Try re-activating a nearby finished submap (adjacency +
-            # proximity; the overlap consistency gate runs one blocking
-            # device call — rare, poll-cadence only).
+            # proximity + the overlap CONSISTENCY gate, ≙
+            # isSwitchingSubmapsConsistant, SubmapCollection.cpp:390-402:
+            # without it a drifted return re-activates the old submap and
+            # corrupts it with misplaced inserts instead of creating the
+            # new submap a loop closure needs). The gate is one blocking
+            # device call — rare, poll-cadence only.
             best, best_d = -1, np.inf
             if not force_new:
                 for i, e in enumerate(self.submaps.submaps):
@@ -930,6 +1009,7 @@ class RealtimePipeline:
                 best >= 0
                 and best_d <= cfg.activation_radius
                 and self.submaps.adjacency.is_adjacent(cur, best)
+                and self.submaps._switch_consistent(self._last_scan, pose, best)
             ):
                 self._finish_active(cur)
                 self.submaps.active_idx = best
@@ -937,8 +1017,8 @@ class RealtimePipeline:
                     self._state,
                     bank=self.submaps.submaps[best].state,
                     scans_in_active=jnp.asarray(0, jnp.int32),
-                    scans_since_reinit=jnp.asarray(10**6, jnp.int32),
                 )
+                self._launch_rebuild()
                 self._last_switch_frame = self._frames_done
                 return
             if force_new or d_cur > cfg.creation_radius:
@@ -959,8 +1039,8 @@ class RealtimePipeline:
                     self._state,
                     bank=seeded,
                     scans_in_active=jnp.asarray(0, jnp.int32),
-                    scans_since_reinit=jnp.asarray(10**6, jnp.int32),
                 )
+                self._launch_rebuild()
                 self._last_switch_frame = self._frames_done
 
     def _create_submap(self, pose: np.ndarray, parent: Optional[int]) -> int:

@@ -116,6 +116,14 @@ def test_find_constraints_and_merge_with_known_coarse(sessions):
     # Submaps constrained by inter-session edges are tightly corrected;
     # far-end B submaps hang off odometry edges and keep the same accuracy.
     assert max(errs) < 0.12, errs
+    # Registration-grade session transform (round 5): the OPTIMIZED
+    # transform distilled from the solved anchors must recover T_ab_true
+    # to constraint quality — far beyond the 0.15 m coarse input.
+    d = np.linalg.inv(res.T_ab_optimized) @ T_ab_true
+    assert np.linalg.norm(d[:3, 3]) < 0.03, res.T_ab_optimized
+    rot = np.arccos(np.clip((np.trace(d[:3, :3]) - 1) / 2, -1, 1))
+    assert rot < 0.01, rot
+    assert res.phase_s is not None and "register" in res.phase_s
     # The merged maps must actually overlap: mean NN distance from B's
     # points (in A's frame now) to the world structure is small.
     pts_b = b.submaps[0].state.cloud

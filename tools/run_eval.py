@@ -328,49 +328,83 @@ def _seq_summary(tag, traj, wall, n_frames, n_pts, extra=None):
     return d, ate
 
 
-def run_lc_efficacy(n_frames=340, n_pts=8192):
-    """Protocol 4 (round 4): loop-closure efficacy at scale. The loopy
-    two-lap trajectory (the bench e2e scenario: ~30 submaps, many loop
-    closures, in-pipeline PCG) is run through the REALTIME pipeline twice —
-    loop closure ON vs OFF — on identical scans; the ON run must measurably
-    reduce ATE (≙ what PlaceRecognition.cpp:231-284 +
-    OptimizationProblem.cpp:25-121 exist to do)."""
+def run_lc_efficacy(n_pts=8192, laps=2):
+    """Protocol 4 (round 5): loop-closure efficacy on the DRIFT-OBSERVABLE
+    corridor world (bench.corridor_world): two feature-rich rooms joined by
+    a featureless corridor; speed changes inside the corridor blind zone
+    accumulate real along-corridor drift that scan-to-map cannot observe
+    (the X-ICP degenerate geometry). Round 4's protocol ran a loopy
+    fully-observable scene where no drift existed to repair — lc_on and
+    lc_off came out bit-identical. Here lc_off MUST diverge and lc_on must
+    repair it (≙ what PlaceRecognition.cpp:231-284 +
+    OptimizationProblem.cpp:25-121 + SlamWrapper.cpp:1055-1090 exist to
+    do); the protocol asserts non-identical trajectories and a nonzero
+    applied increment."""
     import dataclasses as _dc
 
-    from bench import _ate, _frames_for_run, _pipeline_cfg, synth_scene
+    from bench import _ate, _pipeline_cfg, corridor_frames, corridor_world
     from open3d_slam_private_tpu.slam.realtime import RealtimePipeline
 
-    scene = synth_scene(200_000)
-    frames, gts = _frames_for_run(scene, n_frames, n_pts)
-    out = {}
+    scene = corridor_world(240_000)
+    frames, gts, lb = corridor_frames(scene, n_pts=n_pts, laps=laps)
+    out = {"frames": len(frames), "lap_bounds": lb}
+    trajs = {}
     for tag, lc in [("lc_on", True), ("lc_off", False)]:
         cfg = _pipeline_cfg()
         if not lc:
             cfg = _dc.replace(cfg, loop_closure_enabled=False)
         rt = RealtimePipeline(cfg, poll_every=8)
+        rt.warmup(frames[0])
         t0 = time.perf_counter()
         for i, scan in enumerate(frames):
             rt.process_scan(scan, time=0.1 * i)
         rt.poll()
         wall = time.perf_counter() - t0
         rt.finish()
-        ate = _ate(rt.trajectory(), gts)
+        traj = rt.trajectory()
+        trajs[tag] = traj
+        ate = _ate(traj, gts)
+        lap2 = ate[lb[0]:] if len(lb) > 1 else ate
         out[tag] = dict(
             ate_p50_m=float(np.median(ate)),
             ate_p95_m=float(np.percentile(ate, 95)),
             ate_max_m=float(np.max(ate)),
+            ate_lap1_p50_m=float(np.median(ate[: lb[0]])),
             # Second-lap ATE is where loop closures earn their keep.
-            ate_lap2_p50_m=float(np.median(ate[n_frames // 2:])),
-            ate_lap2_max_m=float(np.max(ate[n_frames // 2:])),
+            ate_lap2_p50_m=float(np.median(lap2)),
+            ate_lap2_max_m=float(np.max(lap2)),
             submaps=len(rt.submaps.submaps),
             loop_closures=rt.loop_closure_count,
             pose_graph_solves=rt.pose_graph_solves,
+            # Largest per-solve increment norm: nonzero PROVES the solver
+            # moved the graph (the r4 protocol's solves were all sub-1e-6).
+            max_solve_increment=max(
+                (s["max_inc_norm"] for s in rt.solve_log), default=0.0
+            ),
             wall_s=round(wall, 1),
         )
         out[tag + "_series"] = ate
+        out[tag + "_solve_log"] = rt.solve_log
         print(f"  lc-efficacy {tag}: "
               f"{ {k: (round(v, 4) if isinstance(v, float) else v) for k, v in out[tag].items()} }",
               flush=True)
+    # The round-4 failure mode, asserted away in-protocol.
+    d = np.linalg.norm(
+        trajs["lc_on"][:, :3, 3] - trajs["lc_off"][:, :3, 3], axis=1
+    )
+    out["traj_max_diff_m"] = float(np.max(d))
+    out["lap2_p50_improvement"] = float(
+        out["lc_off"]["ate_lap2_p50_m"]
+        / max(out["lc_on"]["ate_lap2_p50_m"], 1e-9)
+    )
+    assert out["traj_max_diff_m"] > 0.1, (
+        "lc_on and lc_off trajectories are (near-)identical — the r4 null "
+        "result reproduced")
+    assert out["lc_on"]["max_solve_increment"] > 1e-3, (
+        "no pose-graph solve produced a visible increment")
+    print(f"  lc-efficacy: traj_max_diff={out['traj_max_diff_m']:.2f} m, "
+          f"lap2 p50 improvement {out['lap2_p50_improvement']:.1f}x",
+          flush=True)
     return out
 
 
@@ -384,7 +418,7 @@ def main():
                     help="chained reps for honest per-pair device timing")
     args = ap.parse_args()
 
-    report = os.path.join(REPO, "EVAL_r04.csv")
+    report = os.path.join(REPO, "EVAL_r05.csv")
     dev = str(jax.devices()[0])
 
     proto_summaries = {}
@@ -427,7 +461,8 @@ def main():
     print("real-seq:", {k: (round(v, 5) if isinstance(v, float) else v)
                         for k, v in real_sum.items()})
 
-    lc = run_lc_efficacy(n_frames=30 if args.quick else args.lc_frames)
+    lc = run_lc_efficacy(n_pts=2048 if args.quick else 8192,
+                         laps=1 if args.quick else 2)
 
     with open(report, "w", newline="") as f:
         w = csv.writer(f)
@@ -469,10 +504,17 @@ def main():
         for k, v in real_sum.items():
             w.writerow([k, v])
         w.writerow([])
-        w.writerow(["# protocol 4: loop-closure efficacy at scale — the loopy "
-                    "two-lap trajectory (realtime pipeline, carving + dense map, "
-                    "PCG-sized pose graph) with loop closure ON vs OFF on "
-                    "identical scans. Device", dev])
+        w.writerow(["# protocol 4 (round 5): loop-closure efficacy on the "
+                    "drift-observable corridor world — two feature-rich rooms "
+                    "joined by a featureless corridor; speed changes inside "
+                    "the corridor blind zone accumulate real drift the mapper "
+                    "cannot observe (X-ICP holds the prior there). Realtime "
+                    "pipeline, loop closure ON vs OFF on identical scans; the "
+                    "protocol asserts non-identical trajectories and a "
+                    "nonzero applied increment. Device", dev])
+        w.writerow(["frames", lc["frames"], "lap_bounds", *lc["lap_bounds"]])
+        w.writerow(["traj_max_diff_m", f"{lc['traj_max_diff_m']:.4f}",
+                    "lap2_p50_improvement", f"{lc['lap2_p50_improvement']:.2f}"])
         w.writerow(["frame", "lc_on_ate_m", "lc_off_ate_m"])
         for i, (a_on, a_off) in enumerate(
             zip(lc["lc_on_series"], lc["lc_off_series"])
@@ -481,6 +523,11 @@ def main():
         for tag in ("lc_on", "lc_off"):
             for k, v in lc[tag].items():
                 w.writerow([f"{tag}_{k}", v])
+            for si, s in enumerate(lc[tag + "_solve_log"]):
+                w.writerow([f"{tag}_solve_{si}"] + [
+                    f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+                    for k, v in s.items()
+                ])
     print(f"report written to {report}")
 
 
