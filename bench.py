@@ -240,14 +240,15 @@ def _frames_for_run(scene, n_frames, n_pts, speed=0.4, yaw=0.04):
 
 
 def corridor_world(n=240_000, seed=0):
-    """Drift-observable world for the loop-closure efficacy protocol: two
-    feature-rich rooms joined by a featureless corridor (the canonical
-    X-ICP degenerate geometry). Along-corridor translation is unobservable
-    against the map mid-corridor, so speed changes made there accumulate
-    REAL drift that only a loop closure back in a room can repair — the
-    exact failure mode the reference's PlaceRecognition +
-    OptimizationProblem stack exists for (PlaceRecognition.cpp:50-176,
-    SlamWrapper.cpp:1055-1090)."""
+    """Drift-observable world for the loop-closure efficacy protocol: a
+    SQUARE CIRCUIT of four feature-rich corner rooms joined by featureless
+    corridors (the canonical X-ICP degenerate geometry). Along-corridor
+    translation is unobservable against the map mid-leg, so speed changes
+    made there accumulate REAL drift; because the circuit never retraces
+    itself, the drift PERSISTS to the room-A re-entry (no structure seen
+    twice en route to walk it back) — exactly the failure mode the
+    reference's PlaceRecognition + OptimizationProblem stack exists to
+    repair (PlaceRecognition.cpp:50-176, SlamWrapper.cpp:1055-1090)."""
     rng = np.random.default_rng(seed)
 
     def wall(x0, y0, x1, y1, h, m):
@@ -260,86 +261,88 @@ def corridor_world(n=240_000, seed=0):
         return np.c_[cx + r * np.cos(ang), cy + r * np.sin(ang),
                      rng.uniform(0, h, m)]
 
-    m = n // 60
+    m = n // 80
     pts = []
-    # Ground strip under the whole circuit (z only: no along-x texture).
+    # Ground everywhere (z only: no horizontal texture).
     n_g = n // 2
-    pts.append(np.c_[rng.uniform(-10, 34, (n_g, 1)),
-                     rng.uniform(-8, 8, (n_g, 1)),
+    pts.append(np.c_[rng.uniform(-8, 28, (n_g, 1)),
+                     rng.uniform(-8, 30, (n_g, 1)),
                      rng.normal(0, 0.01, (n_g, 1))])
-    # Room A: x in [-8, 2], perimeter walls + columns (feature-rich).
-    for seg in [(-8, -7, -8, 7), (-8, 7, 2, 7), (-8, -7, 2, -7)]:
-        pts.append(wall(*seg, 4.0, 2 * m))
-    for cx, cy in [(-6, 3.6), (-5, -4.0), (-2, 4.6), (-1, -4.6),
-                   (-6.8, -1.0), (0.6, 3.4)]:
-        pts.append(column(cx, cy, 0.35, 3.0, m))
-    # Corridor x in [3, 21]: two smooth walls at y=+-3.0 (NO x-structure).
-    pts.append(wall(3, 3.0, 21, 3.0, 3.0, 5 * m))
-    pts.append(wall(3, -3.0, 21, -3.0, 3.0, 5 * m))
-    # Doorway funnels (short diagonals; negligible x-texture at range).
-    pts.append(wall(2, 7, 3, 3.0, 3.0, m))
-    pts.append(wall(2, -7, 3, -3.0, 3.0, m))
-    pts.append(wall(21, 3.0, 22, 7, 3.0, m))
-    pts.append(wall(21, -3.0, 22, -7, 3.0, m))
-    # Room B: x in [22, 32], perimeter walls + columns.
-    for seg in [(32, -7, 32, 7), (22, 7, 32, 7), (22, -7, 32, -7)]:
-        pts.append(wall(*seg, 4.0, 2 * m))
-    for cx, cy in [(24.5, -3.6), (26, 4.2), (29, -4.4), (31, 3.2),
-                   (27.5, -1.2 - 3.0)]:
-        pts.append(column(cx, cy, 0.35, 3.0, m))
+    # Corner rooms (trajectory corners, see corridor_frames): centers.
+    ROOMS = [(-0.6, 0.6), (20.1, 0.6), (20.1, 21.4), (-0.6, 21.4)]
+    # Distinct column layouts (local offsets, clear of both leg
+    # centerlines through the room: |dx|>=2 or |dy|>=2 kept per room).
+    LAYOUTS = [
+        [(-3.4, -2.6), (-2.2, 3.0), (2.8, -3.6), (3.8, 2.4), (-4.2, 0.8)],
+        [(3.2, -3.0), (-2.8, -3.8), (3.9, 2.8), (-3.3, 2.2), (0.8, -4.3)],
+        [(-3.8, 3.2), (2.4, 3.8), (3.4, -2.4), (-2.5, -3.3), (4.3, 0.9)],
+        [(2.9, 3.4), (-3.6, -2.9), (-4.1, 2.6), (3.1, -3.1), (-0.9, 4.2)],
+    ]
+    # Outer-corner walls per room (two sides facing away from the circuit).
+    WALLS = [
+        [(-6.1, -4.9, -6.1, 6.1), (-6.1, -4.9, 5.0, -4.9)],
+        [(25.6, -4.9, 25.6, 6.1), (14.6, -4.9, 25.6, -4.9)],
+        [(25.6, 15.9, 25.6, 26.9), (14.6, 26.9, 25.6, 26.9)],
+        [(-6.1, 15.9, -6.1, 26.9), (-6.1, 26.9, 5.0, 26.9)],
+    ]
+    for (cx, cy), layout, walls in zip(ROOMS, LAYOUTS, WALLS):
+        for dx, dy in layout:
+            pts.append(column(cx + dx, cy + dy, 0.35, 3.0, m))
+        for seg in walls:
+            pts.append(wall(*seg, 4.0, 2 * m))
+    # Corridor walls along the four legs (featureless along the leg).
+    # Leg centerlines (from the integrated trajectory): y=0 (x 5..14.5),
+    # x=20.74 (y 6.1..15.9), y=21.98 (x 5..14.5), x=-1.24 (y 6.1..15.9).
+    for x0, y0, x1, y1 in [
+        (5.0, 3.0, 14.5, 3.0), (5.0, -3.0, 14.5, -3.0),
+        (23.74, 6.1, 23.74, 15.9), (17.74, 6.1, 17.74, 15.9),
+        (5.0, 24.98, 14.5, 24.98), (5.0, 18.98, 14.5, 18.98),
+        (1.76, 6.1, 1.76, 15.9), (-4.24, 6.1, -4.24, 15.9),
+    ]:
+        pts.append(wall(x0, y0, x1, y1, 3.0, 4 * m))
     w = np.vstack(pts).astype(np.float32)
     return w + rng.normal(size=w.shape).astype(np.float32) * 0.01
 
 
 def corridor_frames(scene, n_pts=8192, laps=2, v_room=1.5, v_out=2.0,
                     max_range=9.0, seed0=7000):
-    """Closed out-and-back trajectory through :func:`corridor_world`.
-
-    Speed ramps from ``v_room`` to ``v_out`` INSIDE the corridor blind zone
-    (after room-A features fall outside the 270 deg wedge / range gate and
-    before any room-B structure enters the map) — the pipeline's only
-    along-corridor information there is the constant-velocity prior, so
-    each outbound leg accumulates ~(v_out - v_room) * t_blind of real +x
-    drift. The return leg runs at constant ``v_room`` (a slower return
-    would also drift +x but triples the frame count; an accelerated return
-    would cancel the outbound drift by symmetry). Outbound and return legs
-    are offset to y = -+1.24 so the U-turns (radius 1.24) connect them.
-    Returns (frames, gts, lap_boundaries)."""
+    """Square-circuit trajectory through :func:`corridor_world`: four
+    straight legs with quarter-circle left turns at the corner rooms. On
+    every leg the speed ramps ``v_room -> v_out -> v_room`` INSIDE the
+    corridor blind zone (departed room out of the 270 deg wedge, next room
+    beyond the range gate), so each leg accumulates real along-leg drift
+    the mapper cannot observe; the circuit topology keeps it un-healed
+    until the room-A revisit. Returns (frames, gts, lap_boundaries)."""
     sweep = _make_sweep(scene, n_pts, wedge_half_deg=135.0, max_range=max_range)
     dt = 0.1
-    turn = np.pi / 3.0
+    turn = np.pi / 3.0  # rad/s; 15 frames = quarter turn, radius 1.24
 
-    def segs_for_lap():
-        # (n_frames, v0, v1, yaw_rate): v ramps linearly v0 -> v1.
+    def segs_for_leg():
+        # 19.5 m leg + corner turn. Ramps sit in the blind middle.
         return [
-            (36, v_room, v_room, 0.0),      # room A -> corridor mouth
-            (24, v_room, v_room, 0.0),      # early corridor; A falls behind
-            (14, v_room, v_room, 0.0),      # fully blind now
-            (8, v_room, v_out, 0.0),        # RAMP in the blind zone
-            (66, v_out, v_out, 0.0),        # cruise; B visible from x~13
-            (10, v_out, 1.4, 0.0),          # decelerate (observable vs B)
-            (12, 1.4, 1.4, 0.0),            # into room B
-            (30, 1.3, 1.3, turn),           # U-turn -> return leg y=+1.24
-            (12, 1.4, 1.4, 0.0),            # back across room B
-            (150, v_room, v_room, 0.0),     # corridor return (constant v)
-            (20, v_room, v_room, 0.0),      # into room A
-            (30, 1.3, 1.3, turn),           # U-turn -> outbound leg y=-1.24
+            (30, v_room, v_room, 0.0),   # leave room, enter corridor (4.5)
+            (8, v_room, v_out, 0.0),     # RAMP up in the blind zone (1.4)
+            (36, v_out, v_out, 0.0),     # blind cruise (7.2)
+            (8, v_out, v_room, 0.0),     # ramp down (1.4)
+            (33, v_room, v_room, 0.0),   # approach + cross room (5.0)
+            (15, 1.3, 1.3, turn),        # quarter turn in the corner room
         ]
 
     pose = np.eye(4)
-    pose[:3, 3] = [-5.0, -1.24, 1.4]
+    pose[:3, 3] = [0.0, 0.0, 1.4]
     frames, gts, lap_bounds = [], [], []
     k = 0
     for lap in range(laps):
-        for n_f, va, vb, w in segs_for_lap():
-            for j in range(n_f):
-                a = j / max(n_f - 1, 1)
-                v = va + (vb - va) * a
-                twist = np.array([0.0, 0.0, w * dt, v * dt, 0.0, 0.0])
-                scan, pose = sweep(pose, twist, seed0 + k)
-                frames.append(scan)
-                gts.append(pose.copy())
-                k += 1
+        for leg in range(4):
+            for n_f, va, vb, w in segs_for_leg():
+                for j in range(n_f):
+                    a = j / max(n_f - 1, 1)
+                    v = va + (vb - va) * a
+                    twist = np.array([0.0, 0.0, w * dt, v * dt, 0.0, 0.0])
+                    scan, pose = sweep(pose, twist, seed0 + k)
+                    frames.append(scan)
+                    gts.append(pose.copy())
+                    k += 1
         lap_bounds.append(k)
     return frames, np.stack(gts), lap_bounds
 

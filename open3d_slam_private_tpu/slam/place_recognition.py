@@ -254,13 +254,15 @@ def build_loop_closure_constraints(
             continue
         T, overlap, residual = got
         # Drift-consistency: the implied correction must stay bounded
-        # (≙ PlaceRecognition.cpp:182-229).
+        # (≙ PlaceRecognition.cpp:182-229). ALWAYS enforced (round 5):
+        # the reference always runs this check, and without it symmetric
+        # geometry produces confidently-registered 90/180-degree-flipped
+        # constraints (two parallel corridor walls + ground register
+        # cleanly under a half-turn) that wreck the pose graph.
         corr = T @ np.linalg.inv(T_rel)
         dt = np.linalg.norm(corr[:3, 3])
         dr = np.arccos(np.clip((np.trace(corr[:3, :3]) - 1) / 2, -1, 1))
-        if drift_estimate is not None and (
-            dt > cfg.max_drift_trans or dr > cfg.max_drift_rot
-        ):
+        if dt > cfg.max_drift_trans or dr > cfg.max_drift_rot:
             continue
         out.append(
             LoopClosureConstraint(

@@ -63,7 +63,18 @@ class PoseGraphConfig:
     # soft modes of loopy graphs into slow geometric step decay (measured:
     # 1e-4 converges to a 0.3% WORSE cost and needs 3x the iterations).
     damping: float = 1e-6
-    robust_kernel: str = "dcs"  # "dcs" | "huber" | "none" (loop edges only)
+    # Robust kernel on loop-closure edges: "huber" | "dcs" | "none".
+    # DEFAULT CHANGED round 5 (dcs -> huber): DCS drives the weight of any
+    # strongly-violated constraint to ~0, so a single genuinely-drifted
+    # loop closure — the one measurement the subsystem exists to apply —
+    # produces a near-zero gradient and the graph never moves (the EVAL_r04
+    # protocol-4 null result reduced to a 4-node unit test:
+    # tests/test_realtime.py::test_pose_graph_solve_applies_nonzero_increment;
+    # chi2 32 held at 32 under dcs, converges to 0.2 under huber). Gross
+    # outliers are instead rejected UPSTREAM by the reference's
+    # drift-consistency gate (PlaceRecognition.cpp:182-229); DCS remains
+    # available for many-redundant-loop workloads.
+    robust_kernel: str = "huber"
     huber_delta: float = 1.0  # kernel scale on loop-closure residual norm
     gauge_weight: float = 1e6
     # Linear solver: "dense" (6K x 6K Cholesky), "pcg" (block-sparse
@@ -319,15 +330,17 @@ def optimize(
         cost = allsum(jnp.sum(w * jnp.einsum("ei,eij,ej->e", r, graph.edge_info, r)))
         return Hii, Hij, Hjj, gi, gj, cost
 
-    def diag_extra(D_diag):
+    def diag_extra(D_diag, lam):
         """Gauge prior on node 0 + inactive-node pinning + LM damping, as
-        the [K, 6] addition to the block diagonal's diagonal."""
+        the [K, 6] addition to the block diagonal's diagonal. ``lam`` is
+        the ADAPTIVE damping (starts at cfg.damping; raised on rejected
+        steps — see the accept/reject loop below)."""
         gauge = jnp.zeros((K, 6), dtype).at[0, :].set(cfg.gauge_weight)
         inactive = (~graph.node_mask).astype(dtype)[:, None] * cfg.gauge_weight
-        damp = cfg.damping * (D_diag + 1.0)
+        damp = lam * (D_diag + 1.0)
         return gauge + inactive + damp
 
-    def gn_iter_dense(poses, _):
+    def gn_iter_dense(poses, lam):
         Hii, Hij, Hjj, gi, gj, cost = edge_blocks(poses)
         Hji = jnp.swapaxes(Hij, 1, 2)
         # Assemble in the [K, 6, K, 6] layout (reshape to [6K, 6K] is free)
@@ -351,7 +364,7 @@ def optimize(
         gd = g.reshape(6 * K)
 
         diag_idx = jnp.arange(6 * K)
-        extra = diag_extra(jnp.diagonal(Hd).reshape(K, 6)).reshape(-1)
+        extra = diag_extra(jnp.diagonal(Hd).reshape(K, 6), lam).reshape(-1)
         Hd = Hd.at[diag_idx, diag_idx].add(extra)
 
         # Hd is SPD (gauge + inactive pinning + LM damping on the diagonal),
@@ -362,7 +375,7 @@ def optimize(
         new_poses = poses @ se3.exp_se3(dx)
         return new_poses, cost, jnp.sum(dx * dx), ginf
 
-    def gn_iter_pcg(poses, _):
+    def gn_iter_pcg(poses, lam):
         Hii, Hij, Hjj, gi, gj, cost = edge_blocks(poses)
         # Block diagonal [K, 6, 6] + gradient [K, 6] by one-hot matmul; one
         # psum per GN iteration when edges are sharded.
@@ -377,7 +390,7 @@ def optimize(
         ginf = jnp.max(jnp.abs(g))
 
         d6 = jnp.arange(6)
-        D = D.at[:, d6, d6].add(diag_extra(D[:, d6, d6]))
+        D = D.at[:, d6, d6].add(diag_extra(D[:, d6, d6], lam))
 
         if cfg.pcg_precond == "tridiag":
             # Chain (block-tridiagonal) preconditioner: extract the
@@ -460,54 +473,90 @@ def optimize(
 
     gn_iter = gn_iter_pcg if use_pcg else gn_iter_dense
 
-    if cfg.gn_rel_tol <= 0:
-        # Fixed-iteration scan (reference-exact cadence).
-        def scan_body(poses, _):
-            new_poses, cost, _, _ = gn_iter(poses, None)
-            return new_poses, cost
+    # Deferred-reject Levenberg-Marquardt (one blocks-eval per iteration):
+    # each iteration evaluates the cost at the CURRENT poses (free — the
+    # same linearization that produces the step) and compares it against
+    # the best cost seen. An improvement accepts the PREVIOUS step and
+    # lowers the damping; a regression restarts from the best poses with
+    # raised damping. Well-conditioned graphs accept every step, so lam
+    # stays at cfg.damping and behavior matches plain GN; graphs with
+    # multi-metre loop residuals (where fixed-damping GN oscillates and
+    # chi2 can grow — the realtime corridor protocol's failure mode) get
+    # true LM control. Returns the best-cost poses.
+    lam0 = jnp.asarray(cfg.damping, dtype)
 
-        poses, _ = jax.lax.scan(scan_body, graph.poses, None, length=cfg.iterations)
+    def lm_step(cur, best, cost_best, lam, it, g0, prev_ginf):
+        new_poses, cost_cur, step2, ginf = gn_iter(cur, lam)
+        improved = cost_cur < cost_best
+        best_n = jnp.where(improved, cur, best)
+        cost_best_n = jnp.minimum(cost_cur, cost_best)
+        lam_n = jnp.where(
+            improved,
+            jnp.maximum(lam * 0.5, cfg.damping),
+            jnp.minimum(lam * 8.0, 1e5),
+        )
+        cur_n = jnp.where(improved, new_poses, best_n)
+        g0 = jnp.where(it == 0, jnp.maximum(ginf, 1e-20), g0)
+        rel = jnp.abs(cost_best - cost_cur) / jnp.maximum(jnp.abs(cost_best), 1e-20)
+        n_dof = 6.0 * jnp.maximum(jnp.sum(graph.node_mask.astype(dtype)), 1.0)
+        cost_coarse_flat = rel < cfg.gn_rel_coarse
+        done = improved & (
+            (rel < cfg.gn_rel_tol)
+            | (step2 / n_dof < cfg.gn_step_tol**2)
+            | (cost_coarse_flat & (it > 0) & (ginf < cfg.gn_grad_tol * g0))
+            | (
+                cost_coarse_flat
+                & (it > 1)
+                & (ginf < 0.05 * g0)
+                & (ginf > cfg.gn_plateau_ratio * prev_ginf)
+            )
+        )
+        return cur_n, best_n, cost_best_n, lam_n, g0, ginf, done
+
+    init = (
+        graph.poses,  # cur
+        graph.poses,  # best
+        jnp.asarray(jnp.inf, dtype),  # cost_best
+        lam0,
+        jnp.asarray(0, jnp.int32),  # it
+        jnp.asarray(0.0, dtype),  # g0
+        jnp.asarray(jnp.inf, dtype),  # prev_ginf
+        jnp.asarray(False),  # done
+    )
+
+    if cfg.gn_rel_tol <= 0:
+        # Fixed-iteration scan (reference-exact cadence), same LM control.
+        def scan_body(st, _):
+            cur, best, cost_best, lam, it, g0, pginf, _ = st
+            cur, best, cost_best, lam, g0, ginf, _ = lm_step(
+                cur, best, cost_best, lam, it, g0, pginf
+            )
+            return (cur, best, cost_best, lam, it + 1, g0, ginf, False), None
+
+        st, _ = jax.lax.scan(scan_body, init, None, length=cfg.iterations)
+        cur, best, cost_best = st[0], st[1], st[2]
     else:
         # GN-level early exit (≙ Open3D's LM convergence criteria): most
         # graphs converge in a handful of iterations; paying the full cap
         # every solve dominates the wall cost otherwise.
         def gn_cond(st):
-            _, it, _, _, _, done = st
+            it, done = st[4], st[7]
             return (it < cfg.iterations) & ~done
 
         def gn_body(st):
-            poses, it, prev_cost, g0, prev_ginf, _ = st
-            new_poses, cost, step2, ginf = gn_iter(poses, None)
-            # g0: gradient scale at the initial linearization.
-            g0 = jnp.where(it == 0, jnp.maximum(ginf, 1e-20), g0)
-            rel = jnp.abs(prev_cost - cost) / jnp.maximum(jnp.abs(prev_cost), 1e-20)
-            n_dof = 6.0 * jnp.maximum(jnp.sum(graph.node_mask.astype(dtype)), 1.0)
-            cost_coarse_flat = rel < cfg.gn_rel_coarse
-            done = (
-                (rel < cfg.gn_rel_tol)
-                | (step2 / n_dof < cfg.gn_step_tol**2)
-                | (cost_coarse_flat & (it > 0) & (ginf < cfg.gn_grad_tol * g0))
-                | (
-                    cost_coarse_flat
-                    & (it > 1)
-                    & (ginf < 0.05 * g0)
-                    & (ginf > cfg.gn_plateau_ratio * prev_ginf)
-                )
+            cur, best, cost_best, lam, it, g0, pginf, _ = st
+            cur, best, cost_best, lam, g0, ginf, done = lm_step(
+                cur, best, cost_best, lam, it, g0, pginf
             )
-            return new_poses, it + 1, cost, g0, ginf, done
+            return (cur, best, cost_best, lam, it + 1, g0, ginf, done)
 
-        poses, *_ = jax.lax.while_loop(
-            gn_cond,
-            gn_body,
-            (
-                graph.poses,
-                jnp.asarray(0, jnp.int32),
-                jnp.asarray(jnp.inf, dtype),
-                jnp.asarray(0.0, dtype),
-                jnp.asarray(jnp.inf, dtype),
-                jnp.asarray(False),
-            ),
-        )
+        st = jax.lax.while_loop(gn_cond, gn_body, init)
+        cur, best, cost_best = st[0], st[1], st[2]
+    # ``cur`` holds the last proposed step whose cost was never evaluated;
+    # ``best`` is the lowest-cost iterate. Prefer ``cur`` only when it was
+    # just accepted (it extends best); evaluating it costs one more pass —
+    # instead return best unless no step was ever accepted.
+    poses = jnp.where(jnp.isfinite(cost_best), best, graph.poses)
     return dataclasses.replace(graph, poses=poses)
 
 

@@ -474,15 +474,28 @@ class RealtimePipeline:
         # single frame carries the full rebuild latency — in paced (10 Hz)
         # operation the rebuild executes in the idle gap between arrivals.
         self.async_rebuild = bool(async_rebuild)
+        # The step config is the jit static key for every device program.
+        # HOST-ONLY fields (loop closure, place recognition, pose graph,
+        # IMU boot) are normalized to defaults so configs differing only in
+        # host behavior SHARE compiled programs — e.g. an lc_on/lc_off A/B
+        # in one process compiles the multi-minute step stack once.
+        _defaults = SlamConfig()
+        self._step_cfg = dataclasses.replace(
+            self.cfg,
+            loop_closure_enabled=_defaults.loop_closure_enabled,
+            place_recognition=_defaults.place_recognition,
+            pose_graph=_defaults.pose_graph,
+            node_capacity=_defaults.node_capacity,
+            edge_capacity=_defaults.edge_capacity,
+            use_imu_attitude_init=_defaults.use_imu_attitude_init,
+        )
         if self.async_rebuild:
             self._step_cfg = dataclasses.replace(
-                self.cfg,
+                self._step_cfg,
                 mapper=dataclasses.replace(
                     self.cfg.mapper, reference_reinit_every=1 << 30
                 ),
             )
-        else:
-            self._step_cfg = self.cfg
         self._frames_since_rebuild = 1
         self.h2d_mode = h2d_mode
         self.chunk_size = max(1, int(chunk_size))
@@ -1093,6 +1106,13 @@ class RealtimePipeline:
             return
         self._loop_constraints.extend(constraints)
         self.loop_closure_count += len(constraints)
+        # Accepted closures become adjacency edges (≙ the reference updating
+        # the adjacency matrix after applying closures,
+        # SlamWrapper.cpp:1078-1089): a corrected revisit region can then
+        # RE-ACTIVATE the original submap instead of duplicating it.
+        with self._registry_lock:
+            for c in constraints:
+                self.submaps.adjacency.add_edge(c.source_idx, c.target_idx)
         self._optimize_pose_graph()
 
     def _optimize_pose_graph(self) -> None:
@@ -1116,6 +1136,23 @@ class RealtimePipeline:
                 info=c.information, is_loop=True,
             )
         graph = builder.build()
+        import os as _os
+
+        dump_dir = _os.environ.get("O3S_DUMP_POSE_GRAPHS")
+        if dump_dir:
+            # Offline-repro hook: save the exact solve inputs (anchors,
+            # parent chain, loop constraints) for solver debugging.
+            np.savez(
+                _os.path.join(dump_dir, f"pg_{self.pose_graph_solves:03d}.npz"),
+                anchors=np.stack([e.anchor for e in entries]),
+                parents=np.asarray([
+                    -1 if e.parent is None else e.parent for e in entries
+                ]),
+                lc_src=np.asarray([c.source_idx for c in self._loop_constraints]),
+                lc_tgt=np.asarray([c.target_idx for c in self._loop_constraints]),
+                lc_T=np.stack([c.T_target_source for c in self._loop_constraints]),
+                lc_info=np.stack([c.information for c in self._loop_constraints]),
+            )
         chi2_pre = float(pg.chi2(graph))
         out = pg.optimize(graph, self.cfg.pose_graph)
         chi2_post = float(pg.chi2(out))

@@ -70,23 +70,59 @@ def test_perfect_measurements_stay_put(rng):
     np.testing.assert_allclose(np.asarray(out.poses)[:5], np.stack(gt), atol=1e-3)
 
 
-def test_huber_downweights_bad_loop(rng):
-    """A grossly wrong loop closure must not destroy a consistent chain."""
+def test_robust_kernels_on_bad_loop(rng):
+    """Kernel trade-off on a grossly wrong loop closure (node 5 claimed at
+    node 0, 5 m violation): DCS REJECTS it outright (endpoint stays at its
+    odometric position), huber — the round-5 default, because DCS also
+    rejects GENUINE drift corrections (the EVAL_r04 null result) — merely
+    downweights it; gross outliers are expected to die upstream at the
+    drift-consistency gate (PlaceRecognition.cpp:182-229)."""
+    def build():
+        builder = pg.PoseGraphBuilder(node_capacity=8, edge_capacity=16)
+        gt = [np.eye(4, dtype=np.float32)]
+        for i in range(1, 6):
+            gt.append((gt[-1] @ T_of([0, 0, 0, 1, 0, 0])).astype(np.float32))
+        for p in gt:
+            builder.add_node(p)
+        for i in range(5):
+            builder.add_edge(i, i + 1, relative(gt[i], gt[i + 1]))
+        # Bogus loop closure claiming node 5 is at node 0.
+        builder.add_edge(5, 0, np.eye(4, dtype=np.float32), is_loop=True)
+        return builder.build()
+
+    out = pg.optimize(build(), pg.PoseGraphConfig(
+        iterations=15, huber_delta=0.5, robust_kernel="dcs"))
+    assert np.asarray(out.poses)[5][0, 3] > 3.5  # DCS: outlier rejected
+
+    out_h = pg.optimize(build(), pg.PoseGraphConfig(
+        iterations=15, huber_delta=0.5))
+    x5 = np.asarray(out_h.poses)[5][0, 3]
+    assert 2.5 < x5 < 4.9, x5  # huber: bounded influence, not rejection
+
+
+def test_huber_default_applies_genuine_drift_correction(rng):
+    """The round-4 failure mode, pinned at the solver level: a loop edge
+    contradicting a drifted chain MUST move the graph under the DEFAULT
+    config (DCS silently rejected it: chi2 32 stayed 32)."""
     builder = pg.PoseGraphBuilder(node_capacity=8, edge_capacity=16)
-    gt = [np.eye(4, dtype=np.float32)]
-    for i in range(1, 6):
-        gt.append((gt[-1] @ T_of([0, 0, 0, 1, 0, 0])).astype(np.float32))
-    for p in gt:
-        builder.add_node(p)
-    for i in range(5):
-        builder.add_edge(i, i + 1, relative(gt[i], gt[i + 1]))
-    # Bogus loop closure claiming node 5 is at node 0.
-    builder.add_edge(5, 0, np.eye(4, dtype=np.float32), is_loop=True)
-    out = pg.optimize(builder.build(), pg.PoseGraphConfig(iterations=15, huber_delta=0.5))
-    poses = np.asarray(out.poses)
-    # Without robustness the chain would compress towards 0; Huber keeps the
-    # endpoint near its odometric position (5, 0, 0).
-    assert poses[5][0, 3] > 3.5, poses[5][:3, 3]
+    anchors = []
+    for i in range(4):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 4.0 * i + (0.8 if i == 3 else 0.0)  # drifted chain end
+        anchors.append(T)
+        builder.add_node(T)
+    for i in range(3):
+        builder.add_edge(i, i + 1, relative(anchors[i], anchors[i + 1]))
+    T_rel = np.eye(4, dtype=np.float32)
+    T_rel[0, 3] = 12.0  # the TRUE relative pose node0 -> node3
+    builder.add_edge(0, 3, T_rel, info=np.eye(6) * 50.0, is_loop=True)
+    g = builder.build()
+    out = pg.optimize(g, pg.PoseGraphConfig(iterations=30))
+    x3 = float(np.asarray(out.poses)[3][0, 3])
+    import dataclasses as _dc
+
+    assert abs(x3 - 12.0) < 0.1, x3
+    assert float(pg.chi2(_dc.replace(g, poses=out.poses))) < 1.0
 
 
 def test_inactive_nodes_pinned(rng):

@@ -246,3 +246,63 @@ def test_chunked_mode_matches_single_step():
     assert np.max(d) < 0.05, d
     a = ate(tr_chunk, gts)
     assert np.median(a) < max(1.5 * np.median(ate(tr_one, gts)), 0.05)
+
+
+def test_pose_graph_solve_applies_nonzero_increment():
+    """Regression for the round-4 null result (EVAL_r04 protocol 4: 13
+    solves, every increment under the 1e-6 identity gate): a loop
+    constraint that contradicts the anchor chain MUST move the graph, be
+    recorded in solve_log, transform the stored banks/anchors, and
+    retroactively correct the recorded trajectory."""
+    from open3d_slam_private_tpu.slam import place_recognition as pr_mod
+    from open3d_slam_private_tpu.slam import submap as submap_mod
+    from open3d_slam_private_tpu.slam.realtime import FrameRecord
+    from open3d_slam_private_tpu.slam.submap_collection import SubmapEntry
+
+    cfg = small_cfg(loop_closure=True)
+    rt = RealtimePipeline(cfg, loop_closure_async=False)
+    # Four submaps along +x; the chain drifted +0.8 m in x by submap 3.
+    drift = np.eye(4)
+    drift[0, 3] = 0.8
+    anchors = []
+    for i in range(4):
+        T = np.eye(4)
+        T[0, 3] = 4.0 * i
+        if i == 3:
+            T = drift @ T
+        anchors.append(T)
+        rt.submaps.submaps.append(SubmapEntry(
+            state=submap_mod.create(64), anchor=T.copy(),
+            parent=None if i == 0 else i - 1,
+        ))
+        if i > 0:
+            rt.submaps.adjacency.add_edge(i - 1, i)
+    rt.submaps.active_idx = 3
+    # Recorded frames, one per submap, at the (drifted) anchors.
+    for i, T in enumerate(anchors):
+        rt.frames.append(FrameRecord(time=0.1 * i, pose=T.copy(), submap_idx=i))
+    rt._last_polled_fidx = 3
+    rt._last_polled_pose = anchors[3].copy()
+    # Loop constraint: submap 3 truly sits at x=12 relative to submap 0.
+    T_true_rel = np.eye(4)
+    T_true_rel[0, 3] = 12.0
+    rt._loop_constraints.append(pr_mod.LoopClosureConstraint(
+        source_idx=3, target_idx=0, T_target_source=T_true_rel,
+        overlap=0.9, residual=0.02, information=np.eye(6) * 50.0,
+    ))
+    rt._optimize_pose_graph()
+
+    assert rt.pose_graph_solves == 1
+    log = rt.solve_log[-1]
+    assert log["max_inc_norm"] > 0.05, log  # the r4 failure: all < 1e-6
+    assert log["moved_submaps"] >= 1, log
+    assert log["chi2_post"] < log["chi2_pre"], log
+    # Anchors moved toward consistency: submap 3 pulled back toward x=12.
+    a3 = rt.submaps.submaps[3].anchor
+    assert abs(a3[0, 3] - 12.0) < abs(12.8 - 12.0), a3
+    # Retroactive trajectory correction applied to the recorded frame.
+    f3 = rt.frames[3].pose
+    assert abs(f3[0, 3] - 12.0) < 0.75, f3
+    # The active-submap increment is queued for the dispatch boundary.
+    with rt._inc_lock:
+        assert rt._pending_increment is not None
