@@ -159,9 +159,14 @@ def _pipeline_cfg(smoke=False, carve=True, dense=True, loopy=True):
         dense_map_voxel=0.1,
         dense_map_capacity=1 << 16 if smoke else 1 << 20,
         # PCG engages once the graph outgrows the dense-solver regime; the
-        # loopy run's ~30+ submap nodes exercise it in-pipeline.
-        pose_graph=pg.PoseGraphConfig(iterations=15, solver="auto",
-                                      auto_pcg_nodes=24),
+        # loopy run's ~30+ submap nodes exercise it in-pipeline. iterations
+        # raised 15 -> 40 (adaptive-LM rejections consume iterations on
+        # multi-metre loop residuals); huber_delta 5: the quality-derived
+        # loop informations run 10-30x odometry's, so a metre-scale genuine
+        # correction sits at Mahalanobis ~15 — delta 1 would crush it to
+        # near-irrelevance against even blind-direction odometry info.
+        pose_graph=pg.PoseGraphConfig(iterations=40, solver="auto",
+                                      auto_pcg_nodes=24, huber_delta=5.0),
         node_capacity=128,
         edge_capacity=1024,
     )

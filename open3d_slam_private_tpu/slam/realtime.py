@@ -1123,13 +1123,51 @@ class RealtimePipeline:
         with self._registry_lock:
             entries = list(self.submaps.submaps)
             active_idx = self.submaps.active_idx
+        # Measured per-submap observability -> anisotropic odometry-edge
+        # information (the reference weighs odometry constraints by
+        # registration-derived information matrices,
+        # constraint_builders.cpp:33-118 + GetInformationMatrixFrom-
+        # PointClouds). A segment whose registrations X-ICP flagged
+        # degenerate gets WEAK translation information along its travel
+        # direction, so the solve concentrates loop-closure corrections in
+        # the blind segments instead of uniformly bending well-observed
+        # ones (uniform identity info measurably DRAGGED correctly-mapped
+        # rooms: corridor-protocol lc_on ATE 5.4 vs lc_off 2.6 before
+        # this).
+        with self._frames_lock:
+            frames_snap = [
+                (r.submap_idx, r.degenerate)
+                for r in self.frames
+                if r.pose is not None
+            ]
+        deg_frac: Dict[int, list] = {}
+        for sidx, deg in frames_snap:
+            deg_frac.setdefault(sidx, []).append(1.0 if deg else 0.0)
+        W_STRONG, W_BLIND = 100.0, 2.0
         builder = pg.PoseGraphBuilder(self.cfg.node_capacity, self.cfg.edge_capacity)
         for e in entries:
             builder.add_node(e.anchor)
         for i, e in enumerate(entries):
             if e.parent is not None:
                 T_rel = np.linalg.inv(entries[e.parent].anchor) @ e.anchor
-                builder.add_edge(e.parent, i, T_rel)
+                flags = deg_frac.get(e.parent, [])
+                # X-ICP's binary insufficient-information flag fires only on
+                # the starkest frames (production thresholds); a segment
+                # where >=25% of registrations were flagged is treated as
+                # fully blind along its travel direction.
+                frac = min(1.0, 4.0 * float(np.mean(flags))) if flags else 0.0
+                info = np.eye(6) * W_STRONG
+                d = T_rel[:3, 3]
+                nd = float(np.linalg.norm(d))
+                if nd > 1e-6 and frac > 0.0:
+                    dn = d / nd
+                    w_para = W_STRONG * (1.0 - frac) + W_BLIND * frac
+                    # Residual layout: [omega(3), v(3)] in the edge-local
+                    # frame; soften translation along the travel direction.
+                    info[3:, 3:] = W_STRONG * np.eye(3) + (
+                        w_para - W_STRONG
+                    ) * np.outer(dn, dn)
+                builder.add_edge(e.parent, i, T_rel, info=info)
         for c in self._loop_constraints:
             builder.add_edge(
                 c.target_idx, c.source_idx, c.T_target_source,

@@ -50,9 +50,16 @@ def run(tag, frames, gts, lb, lc, poll_every=8):
     ate = _ate(traj, gts)
     lap1 = ate[: lb[0]]
     lap2 = ate[lb[0]:] if len(lb) > 1 else ate[:0]
+    degs = [r.degenerate for r in rt.frames if r.pose is not None]
     log(f"{tag}: wall={wall:.0f}s hz={len(frames)/wall:.1f} "
         f"submaps={len(rt.submaps.submaps)} lc={rt.loop_closure_count} "
-        f"solves={rt.pose_graph_solves}")
+        f"solves={rt.pose_graph_solves} deg_frac={np.mean(degs):.2f}")
+    per = {}
+    for r in rt.frames:
+        if r.pose is not None:
+            per.setdefault(r.submap_idx, []).append(1.0 if r.degenerate else 0.0)
+    log(f"{tag}: per-submap deg frac: " + " ".join(
+        f"{k}:{np.mean(v):.2f}" for k, v in sorted(per.items())))
     log(f"{tag}: ATE p50={np.median(ate):.3f} p95={np.percentile(ate,95):.3f} "
         f"max={ate.max():.3f} | lap1 p50={np.median(lap1):.3f} "
         + (f"| lap2 p50={np.median(lap2):.3f} max={lap2.max():.3f}" if len(lap2) else ""))
