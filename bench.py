@@ -471,6 +471,12 @@ def run_pipeline_bench_64k(n_frames=340, smoke=False):
     n_pts = 4096 if smoke else 65536
     scene = synth_scene(20_000 if smoke else 400_000)
     cfg = _pipeline_cfg(smoke=smoke)
+    # Production-faithful scan voxel for full-resolution clouds: the
+    # reference applies its crops/voxels to the raw 64-131k sensor cloud
+    # with sensor-scale voxels (Parameters.hpp:51-64); 0.1 m at 64k
+    # produces ~40k voxels against the 16k scan capacity.
+    cfg = dataclasses.replace(
+        cfg, mapper=dataclasses.replace(cfg.mapper, scan_voxel_size=0.2))
     frames, gts = _frames_for_run(scene, n_frames, n_pts)
     rt = RealtimePipeline(cfg, poll_every=8)
     rt.warmup(frames[0])

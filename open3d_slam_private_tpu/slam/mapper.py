@@ -103,7 +103,16 @@ def process_scan_for_matching(scan: pc.PointBatch, cfg: MapperConfig) -> pc.Poin
     normals (its plane-to-plane covariances), so estimate them here."""
     d2 = jnp.sum(scan.xyz * scan.xyz, axis=-1)
     s = scan.with_mask(d2 <= cfg.scan_crop_radius**2)
-    s = voxel_downsample(s, cfg.scan_voxel_size, capacity=cfg.scan_capacity)
+    # priority_center = the sensor origin: under CAPACITY pressure (a 64k
+    # scan at a fine voxel exceeds scan_capacity) retention sheds the
+    # FARTHEST range bands instead of a packed-key half-space — the r4
+    # half-space-retention bug class resurfaced here on the scan path and
+    # biased 64k registrations into a systematic ~11% trajectory-radius
+    # error (per-lap ATE bulge, tools/probe_r5_64k.py).
+    s = voxel_downsample(
+        s, cfg.scan_voxel_size, capacity=cfg.scan_capacity,
+        priority_center=jnp.zeros(3, s.xyz.dtype),
+    )
     if cfg.icp.minimizer == "gicp" and s.normals is None:
         ngrid = grid_hash.build_grid(
             s.padded_xyz(), s.mask, 2.0 * cfg.normals_radius,

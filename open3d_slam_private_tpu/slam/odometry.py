@@ -65,7 +65,12 @@ class OdometryConfig:
 def preprocess(scan: pc.PointBatch, key: jax.Array, cfg: OdometryConfig) -> pc.PointBatch:
     """crop -> voxel -> normals -> cap point count (``Odometry.cpp:22-27``)."""
     s = filters.min_max_radius(scan, cfg.min_range, cfg.max_range)
-    s = voxel_downsample(s, cfg.voxel_size, capacity=cfg.max_points)
+    # Sensor-origin retention priority: graceful far-band shedding under
+    # capacity pressure (see mapper.process_scan_for_matching).
+    s = voxel_downsample(
+        s, cfg.voxel_size, capacity=cfg.max_points,
+        priority_center=jnp.zeros(3, s.xyz.dtype),
+    )
     s = normals_mod.estimate_normals(
         s, knn=cfg.normals_knn, max_dist=cfg.normals_radius,
         orient_towards=(0.0, 0.0, 0.0),

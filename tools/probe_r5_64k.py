@@ -19,10 +19,14 @@ def main():
     from bench import _ate, _frames_for_run, _pipeline_cfg, synth_scene
     from open3d_slam_private_tpu.slam.realtime import RealtimePipeline
 
+    import dataclasses as _dc
+
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 340
     n_pts = 65536
     scene = synth_scene(400_000)
     cfg = _pipeline_cfg()
+    cfg = _dc.replace(
+        cfg, mapper=_dc.replace(cfg.mapper, scan_voxel_size=0.2))
     frames, gts = _frames_for_run(scene, n_frames, n_pts)
     log(f"{n_frames} frames built")
     rt = RealtimePipeline(cfg, poll_every=8)
