@@ -88,10 +88,14 @@ class PoseGraphConfig:
     cg_tol: float = 1e-5
     # PCG preconditioner: "tridiag" solves the graph's block-tridiagonal
     # chain part exactly per CG iteration via cyclic reduction (log2 K
-    # batched levels) — CG then converges in ~a dozen iterations regardless
-    # of K, where block-Jacobi needs O(K) chain-propagation iterations.
-    # "jacobi" = batched 6x6 block-diagonal inverses (cheapest per apply).
-    pcg_precond: str = "tridiag"
+    # batched levels); "jacobi" = batched 6x6 block-diagonal inverses.
+    # DEFAULT CHANGED round 5 (tridiag -> jacobi): measured same-process on
+    # 1024-node/4095-edge graphs (tools/probe_r5_pg.py), jacobi reaches the
+    # IDENTICAL converged chi2 at 30.9 vs 24.6 solves/s (bench graph) and
+    # 18.7 vs 14.7 (long-loop-heavy graph) — the cyclic-reduction apply's
+    # log2(K) sequential 6x6 levels cost more per CG iteration than the
+    # extra CG iterations jacobi needs under the cg_tol early exit.
+    pcg_precond: str = "jacobi"
     # GN-level early exit (≙ Open3D GlobalOptimizationConvergenceCriteria:
     # the reference's LM stops on relative cost decrease): stop when the
     # edge cost improves by less than gn_rel_tol relatively OR the RMS
