@@ -153,6 +153,14 @@ def _pipeline_cfg(smoke=False, carve=True, dense=True, loopy=True):
             _pr.PlaceRecognitionConfig(),
             max_candidate_distance=15.0,
             max_candidates=2,
+            # The reference's consecutiveness gate is DYNAMIC:
+            # ceil(loopClosureSearchRadius / submap radius) = ceil(15/4) = 4
+            # (PlaceRecognition.cpp:268-270). Without it, same-leg corridor
+            # submaps 2-3 indices apart pass the distance gate and their
+            # x-sliding alias registrations inject multi-metre spurious
+            # "corrections" (observed: a 6.5 m increment from an intra-leg
+            # constraint in EVAL protocol 4).
+            min_submaps_between_candidates=5,
         ),
         use_external_odometry=False,
         build_dense_map=dense,

@@ -443,9 +443,39 @@ def run_lc_efficacy(n_pts=8192, laps=2):
     return out
 
 
+def _write_p4(w, lc, dev):
+    w.writerow(["# protocol 4 (round 5): loop-closure efficacy on the "
+                "drift-observable square-circuit world — four feature-rich "
+                "corner rooms joined by featureless corridors; speed changes "
+                "inside the corridor blind zones accumulate real drift the "
+                "mapper cannot observe (X-ICP holds the prior there) and the "
+                "circuit never retraces, so drift persists to the revisit. "
+                "Realtime pipeline, loop closure ON vs OFF on identical "
+                "scans; the protocol asserts non-identical trajectories and "
+                "a nonzero applied increment. Device", dev])
+    w.writerow(["frames", lc["frames"], "lap_bounds", *lc["lap_bounds"]])
+    w.writerow(["traj_max_diff_m", f"{lc['traj_max_diff_m']:.4f}",
+                "lap2_p50_improvement", f"{lc['lap2_p50_improvement']:.2f}"])
+    w.writerow(["frame", "lc_on_ate_m", "lc_off_ate_m"])
+    for i, (a_on, a_off) in enumerate(
+        zip(lc["lc_on_series"], lc["lc_off_series"])
+    ):
+        w.writerow([i, f"{a_on:.5f}", f"{a_off:.5f}"])
+    for tag in ("lc_on", "lc_off"):
+        for k, v in lc[tag].items():
+            w.writerow([f"{tag}_{k}", v])
+        for si, s in enumerate(lc[tag + "_solve_log"]):
+            w.writerow([f"{tag}_solve_{si}"] + [
+                f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in s.items()
+            ])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=330)
+    ap.add_argument("--p4-only", action="store_true",
+                    help="run ONLY protocol 4, writing EVAL_r05_p4.csv")
     ap.add_argument("--quick", action="store_true",
                     help="30-frame protocol 3, skip protocol 1/2 (smoke)")
     ap.add_argument("--device-reps", type=int, default=5,
@@ -454,6 +484,14 @@ def main():
 
     report = os.path.join(REPO, "EVAL_r05.csv")
     dev = str(jax.devices()[0])
+
+    if args.p4_only:
+        lc = run_lc_efficacy(n_pts=2048 if args.quick else 8192,
+                             laps=1 if args.quick else 3)
+        with open(os.path.join(REPO, "EVAL_r05_p4.csv"), "w", newline="") as f:
+            _write_p4(csv.writer(f), lc, dev)
+        print("p4-only report written to EVAL_r05_p4.csv")
+        return
 
     proto_summaries = {}
     if not args.quick:
@@ -545,30 +583,7 @@ def main():
         for k, v in real_sum.items():
             w.writerow([k, v])
         w.writerow([])
-        w.writerow(["# protocol 4 (round 5): loop-closure efficacy on the "
-                    "drift-observable corridor world — two feature-rich rooms "
-                    "joined by a featureless corridor; speed changes inside "
-                    "the corridor blind zone accumulate real drift the mapper "
-                    "cannot observe (X-ICP holds the prior there). Realtime "
-                    "pipeline, loop closure ON vs OFF on identical scans; the "
-                    "protocol asserts non-identical trajectories and a "
-                    "nonzero applied increment. Device", dev])
-        w.writerow(["frames", lc["frames"], "lap_bounds", *lc["lap_bounds"]])
-        w.writerow(["traj_max_diff_m", f"{lc['traj_max_diff_m']:.4f}",
-                    "lap2_p50_improvement", f"{lc['lap2_p50_improvement']:.2f}"])
-        w.writerow(["frame", "lc_on_ate_m", "lc_off_ate_m"])
-        for i, (a_on, a_off) in enumerate(
-            zip(lc["lc_on_series"], lc["lc_off_series"])
-        ):
-            w.writerow([i, f"{a_on:.5f}", f"{a_off:.5f}"])
-        for tag in ("lc_on", "lc_off"):
-            for k, v in lc[tag].items():
-                w.writerow([f"{tag}_{k}", v])
-            for si, s in enumerate(lc[tag + "_solve_log"]):
-                w.writerow([f"{tag}_solve_{si}"] + [
-                    f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
-                    for k, v in s.items()
-                ])
+        _write_p4(w, lc, dev)
     print(f"report written to {report}")
 
 
