@@ -95,6 +95,11 @@ class PoseGraphConfig:
     # 18.7 vs 14.7 (long-loop-heavy graph) — the cyclic-reduction apply's
     # log2(K) sequential 6x6 levels cost more per CG iteration than the
     # extra CG iterations jacobi needs under the cg_tol early exit.
+    # KNOWN ISSUE (tridiag only): the cyclic-reduction upward
+    # reconstruction mis-shapes for node capacities whose reduction levels
+    # go odd (e.g. K=33); power-of-two capacities (the production configs)
+    # are unaffected. Pad node_capacity to a power of two when selecting
+    # tridiag explicitly.
     pcg_precond: str = "jacobi"
     # GN-level early exit (≙ Open3D GlobalOptimizationConvergenceCriteria:
     # the reference's LM stops on relative cost decrease): stop when the
